@@ -1,0 +1,58 @@
+"""Driver benchmark: one JSON line.
+
+Metric: merge-path SpMV throughput (Gnnz/s) on a power-law synthetic
+matrix (the load-imbalance regime the merge kernel targets,
+BASELINE.json config 3), on the attached TPU chip.
+vs_baseline: achieved fraction of the 80%-of-speed-of-light target
+(BASELINE.md): 1.0 means the north-star target is met exactly.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def main():
+    from spmv_tpu.io.generate import power_law_csr
+    from spmv_tpu.utils.roofline import speed_of_light
+    from spmv_tpu.utils.timing import benchmark_spmv
+
+    n_rows = 1 << 21
+    nnz = 1 << 24  # 16.8M nnz, mean 8/row, power-law skew
+    A = power_law_csr(n_rows, n_rows, nnz, alpha=1.5, seed=42)
+    x = np.random.default_rng(0).standard_normal(n_rows).astype(np.float32)
+
+    best = None
+    for kind in ("merge", "xla"):
+        try:
+            r = benchmark_spmv(kind, A, x, iters=30, check=True)
+        except Exception as e:
+            print(f"bench {kind} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            continue
+        print(r.row(), file=sys.stderr)
+        if r.delta and r.delta["max_rel"] > 1e-3:
+            print(f"bench {kind}: correctness delta too large, skipping",
+                  file=sys.stderr)
+            continue
+        if best is None or r.gnnz_per_s > best.gnnz_per_s:
+            best = r
+
+    if best is None:
+        print(json.dumps({"metric": "spmv_gnnz_per_s", "value": 0.0,
+                          "unit": "Gnnz/s", "vs_baseline": 0.0}))
+        return
+
+    model = speed_of_light(A.nnz, A.n_rows)
+    sol = model.sol_nnz_per_s(A.mean_nnz_per_row) / 1e9
+    target = 0.8 * sol
+    print(json.dumps({
+        "metric": "spmv_gnnz_per_s",
+        "value": round(best.gnnz_per_s, 3),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(best.gnnz_per_s / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+"""Global configuration for spmv_tpu.
+
+Compile-time-switch analog of the reference's preprocessor flags
+(ref: common.cuh:8, timer.hpp:6, cusp.cuh:13, LightSpMV.cuh:19), done
+the JAX way: process-level toggles with environment overrides.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+_interpret_override: Optional[bool] = None
+
+
+def set_interpret(value: Optional[bool]) -> None:
+    """Force Pallas interpreter mode on/off (None = auto-detect).
+
+    Interpreter mode is how kernels run on CPU (tests, multi-host
+    simulation); on a real TPU the compiled Mosaic path is used.
+    """
+    global _interpret_override
+    _interpret_override = value
+
+
+def use_interpret() -> bool:
+    if _interpret_override is not None:
+        return _interpret_override
+    env = os.environ.get("SPMV_TPU_INTERPRET")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() not in ("tpu", "axon")

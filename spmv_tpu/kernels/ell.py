@@ -1,0 +1,228 @@
+"""ELL-style packed row execution: shared machinery for the
+csr-vector and LightSpMV kernel families.
+
+The reference's csr-vector kernels assign T ∈ {2,4,8,16,32} threads to
+each row (ref: cusp/cusp.cuh:19-142) — T lanes stride through the
+row's nonzeros and reduce. The TPU translation assigns **W lanes per
+row chunk**: rows are cut into chunks of W nonzeros ("virtual rows"),
+chunks are packed densely into (8, 128) VMEM tiles (128/W chunks per
+lane-row), a Pallas kernel reduces within each W-lane group, and an
+XLA epilogue combines a row's chunks with a sorted segment reduction.
+
+This layout is also the LightSpMV analog's substrate: LightSpMV's
+dynamic atomic-counter row scheduling (ref: LightSpMV.cuh:110-263)
+exists to keep warps busy despite skewed row lengths; on TPU there are
+no global atomics, so the equivalent is **static binning by row
+length** (rows bucketed by nnz, each bin packed at its own W) — same
+goal, load balance, achieved at plan time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spmv_tpu import config
+from spmv_tpu.formats import CSR
+from spmv_tpu.ops.semiring import Semiring
+from spmv_tpu.kernels.pallas_utils import LANES, lane_iota, strided_group_reduce
+
+SUBLANES = 8
+SLOT_ROWS = SUBLANES  # sublanes per tile
+
+
+@dataclasses.dataclass
+class EllPlan:
+    """Packed chunks for one (row subset, W)."""
+
+    width: int  # W, lanes per chunk (power of two ≤ 128)
+    n_vrows: int  # valid chunk count V
+    n_tiles: int  # Tv
+    aj: jax.Array  # (Tv, 8, 128) int32
+    ax: jax.Array  # (Tv, 8, 128) values
+    valid: jax.Array  # (Tv, 8, 128) bool
+    vrow_row: jax.Array  # (V,) int32 global row of each chunk
+
+
+def build_ell_plan(A: CSR, rows: np.ndarray, width: int) -> EllPlan:
+    """Pack the given rows' nonzeros at W=width lanes per chunk.
+
+    rows: sorted array of global row indices to pack (a bin, or all
+    rows). Rows are cut into ceil(len/W) chunks (min 1, so empty rows
+    still yield an identity-valued chunk and need no special casing in
+    the epilogue).
+    """
+    W = width
+    assert W & (W - 1) == 0 and 1 <= W <= LANES
+    G = LANES // W  # chunks per lane-row
+    slots_per_tile = SUBLANES * G
+
+    Ap = np.asarray(A.Ap, dtype=np.int64)
+    Aj = np.asarray(A.Aj)
+    Ax = np.asarray(A.Ax)
+    rows = np.asarray(rows, dtype=np.int64)
+    lens = Ap[rows + 1] - Ap[rows]
+    n_chunks = np.maximum((lens + W - 1) // W, 1)
+    V = int(n_chunks.sum())
+    Tv = max((V + slots_per_tile - 1) // slots_per_tile, 1)
+    V_pad = Tv * slots_per_tile
+
+    # chunk -> (row, chunk_index_within_row)
+    vrow_row = np.repeat(rows, n_chunks)
+    chunk_in_row = np.arange(V, dtype=np.int64) - np.repeat(
+        np.cumsum(n_chunks) - n_chunks, n_chunks
+    )
+    # element (v, w) -> CSR position
+    k = (
+        np.repeat(Ap[vrow_row] + chunk_in_row * W, W).reshape(V, W)
+        + np.arange(W, dtype=np.int64)[None, :]
+    )
+    k_end = np.repeat(Ap[vrow_row + 1], W).reshape(V, W)
+    valid = k < k_end
+    if int(Ap[-1]) == 0:  # empty matrix: all slots invalid
+        aj = np.zeros((V, W), np.int32)
+        ax = np.zeros((V, W), Ax.dtype if Ax.size else np.float32)
+    else:
+        k = np.minimum(k, int(Ap[-1]) - 1)
+        aj = np.where(valid, Aj[k], 0).astype(np.int32)
+        ax = np.where(valid, Ax[k], 0).astype(Ax.dtype)
+
+    def pad_tiles(arr, fill):
+        out = np.full((V_pad, W), fill, dtype=arr.dtype)
+        out[:V] = arr
+        # (V_pad, W) -> (Tv, 8, G, W) -> (Tv, 8, 128); chunk slot order:
+        # slot = ((t*8 + s)*G + g), lanes [g*W, (g+1)*W).
+        return out.reshape(Tv, SUBLANES, G, W).reshape(Tv, SUBLANES, LANES)
+
+    return EllPlan(
+        width=W,
+        n_vrows=V,
+        n_tiles=Tv,
+        aj=jnp.asarray(pad_tiles(aj, 0)),
+        ax=jnp.asarray(pad_tiles(ax, 0)),
+        valid=jnp.asarray(pad_tiles(valid, False)),
+        vrow_row=jnp.asarray(vrow_row.astype(np.int32)),
+    )
+
+
+def _group_reduce_kernel(sr: Semiring, identity: float, W: int, strategy: str):
+    """Per-tile kernel: reduce each W-lane group to its leader lane.
+
+    strategy:
+      'linear'    — W-1 sequential roll-accumulate steps; the
+                    shared-memory tree loop analog (ref: cusp.cuh:82-136).
+      'tree'      — log2(W) roll steps; the warp-shuffle reduction
+                    analog (ref: cusp/utils.cuh:38-47).
+      'broadcast' — tree reduce, then roll-broadcast the result to all
+                    lanes of the group; the shuffle offset-broadcast
+                    variant analog (ref: cusp_warp_read_reduce.cuh:27-34).
+    """
+
+    def kernel(prod_ref, out_ref):
+        v = prod_ref[0]
+        if strategy == "linear":
+            lanes = lane_iota(v.shape)
+            acc = v
+            for d in range(1, W):
+                sv = pltpu.roll(v, (LANES - d) % LANES, 1)
+                ok = (lanes % W) == 0
+                acc = jnp.where(ok, sr.reduce(acc, sv), acc)
+            v = acc
+        else:
+            v = strided_group_reduce(v, W, sr.reduce)
+            if strategy == "broadcast" and W > 1:
+                # Roll-broadcast leader to the whole group.
+                lanes = lane_iota(v.shape)
+                d = 1
+                while d < W:
+                    sv = pltpu.roll(v, d, 1)
+                    take = (lanes % W) >= d
+                    v = jnp.where(take, sv, v)
+                    d *= 2
+        out_ref[0] = v
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr_name", "W", "Tv", "V", "n_rows", "strategy", "interpret", "val_dtype"),
+)
+def _ell_spmv_device(
+    aj, ax, valid, vrow_row, x,
+    *, sr_name: str, W: int, Tv: int, V: int, n_rows: int,
+    strategy: str, interpret: bool, val_dtype,
+):
+    from spmv_tpu.ops.semiring import BUILTIN_SEMIRINGS
+
+    sr = BUILTIN_SEMIRINGS[sr_name]
+    identity = float(sr.identity_for(np.dtype(val_dtype)))
+    G = LANES // W
+
+    # Phase A (XLA): gather x, combine, mask invalid slots to identity.
+    xg = jnp.take(x, aj.reshape(-1)).reshape(aj.shape)
+    prod = sr.combine(ax.astype(val_dtype), xg.astype(val_dtype))
+    prod = jnp.where(valid, prod, identity)
+
+    # Phase B (Pallas): group reduction within each chunk.
+    kernel = _group_reduce_kernel(sr, identity, W, strategy)
+    reduced = pl.pallas_call(
+        kernel,
+        grid=(Tv,),
+        in_specs=[pl.BlockSpec((1, SUBLANES, LANES), lambda t: (t, 0, 0))],
+        out_specs=pl.BlockSpec((1, SUBLANES, LANES), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Tv, SUBLANES, LANES), jnp.dtype(val_dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(prod)
+
+    # Phase C (XLA): leaders -> chunk values -> per-row combine.
+    y_vrow = reduced.reshape(Tv * SUBLANES, LANES)[:, ::W].reshape(-1)[:V]
+    if sr_name == "plus_times":
+        return jax.ops.segment_sum(y_vrow, vrow_row, num_segments=n_rows,
+                                   indices_are_sorted=True)
+    if sr_name == "min_plus":
+        y = jax.ops.segment_min(y_vrow, vrow_row, num_segments=n_rows,
+                                indices_are_sorted=True)
+    else:
+        y = jax.ops.segment_max(y_vrow, vrow_row, num_segments=n_rows,
+                                indices_are_sorted=True)
+    # Identity participates in every row reduction (oracle semantics,
+    # ref: cpu_navie.hpp:20-35); also normalizes ±inf fill of rows not
+    # present in this packing (binned subsets).
+    return sr.reduce(y, jnp.full_like(y, identity))
+
+
+def ell_spmv(A: CSR, x, semiring: Semiring, plan: EllPlan, strategy: str):
+    x = jnp.asarray(x)
+    val_dtype = jnp.result_type(np.asarray(A.Ax).dtype, x.dtype)
+    if val_dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        val_dtype = jnp.float32
+    return _ell_spmv_device(
+        plan.aj, plan.ax, plan.valid, plan.vrow_row, x,
+        sr_name=semiring.name, W=plan.width, Tv=plan.n_tiles,
+        V=plan.n_vrows, n_rows=A.n_rows, strategy=strategy,
+        interpret=config.use_interpret(), val_dtype=np.dtype(val_dtype),
+    )
+
+
+def select_width(mean_nnz_per_row: float, table=((2, 2), (4, 4), (8, 8), (16, 16))) -> int:
+    """Threads-per-row heuristic (ref: cusp.cuh:187-222): mean nnz/row
+    ≤2→2, ≤4→4, ≤8→8, ≤16→16, else 32 — extended for 128-lane TPU
+    vectors with wider tiers for very dense rows."""
+    for bound, width in table:
+        if mean_nnz_per_row <= bound:
+            return width
+    if mean_nnz_per_row <= 64:
+        return 32
+    if mean_nnz_per_row <= 128:
+        return 64
+    return 128

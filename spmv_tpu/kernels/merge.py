@@ -1,0 +1,352 @@
+"""Merge-path SpMV — the centerpiece kernel, rebuilt TPU-native.
+
+Reference: the vendored CUB merge-based SpMV
+(ref: include/spmv/merge_based/*, 2,257 LoC) and its semiring
+generalization (ref: include/spmv/merge_genl/*). The CUDA design:
+split the merged sequence of (row-ends × nonzeros) into equal tiles,
+each thread block walks its tile with an accumulate-or-reset loop,
+block-wide reduce-by-key scan, and a decoupled-lookback fixup pass for
+rows spanning tiles (ref: dispatch_spmv_orig.cuh:533-769,
+agent_spmv_orig.cuh:120-760, agent_segment_fixup.cuh).
+
+The TPU re-design (NOT a translation):
+
+- The per-thread binary search along merge diagonals
+  (ref: thread_search.cuh:10-49) moves to **plan time on the host**:
+  a greedy merge split bounds both nnz-per-tile (EN) and
+  rows-per-tile (RW), the two tuning knobs of the policy table analog
+  (ref: dispatch_spmv_orig.cuh:266-427).
+- The divergent accumulate-or-reset walk + BlockScan reduce-by-key
+  (ref: agent_spmv_orig.cuh:340-404) becomes a fully vectorized
+  **segmented scan** over (sublane, lane) tiles, followed by a
+  row-end **gather** of scan values (positions precomputed from Ap at
+  plan time).
+- The decoupled-lookback cross-tile fixup
+  (ref: agent_segment_fixup.cuh:277-358) is unnecessary on TPU: the
+  Pallas grid is sequential on a core, so a **carry register in SMEM
+  scratch** propagates partial row sums tile-to-tile in one pass —
+  each tile folds the carry into its first row and the *last* tile
+  touching a row owns its final value.
+- The scattered per-row writeback becomes a dense per-tile row-window
+  write; a final XLA **gather** (ownership map precomputed at plan
+  time) assembles y with zero scatter traffic.
+- Semiring generalization threads `(initialize, combine, reduce)`
+  through every site — products, scan, carry fold, carry update —
+  matching the reference's functor_t reach, including its AtomicReduce
+  fixup analog (ref: merge_genl/agent_segment_fixup.cuh:56-86), which
+  here is simply the carry fold using `reduce`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spmv_tpu import config
+from spmv_tpu.formats import CSR
+from spmv_tpu.ops.registry import register, plan_cache
+from spmv_tpu.ops.semiring import Semiring, PLUS_TIMES
+from spmv_tpu.kernels.pallas_utils import (
+    LANES,
+    flat_iota,
+    gather_flat,
+    segmented_scan_tile,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MergePolicy:
+    """Tile-shape policy: the per-arch tuning table analog
+    (ref: dispatch_spmv_orig.cuh:266-427, SM60 = 128×7 etc.)."""
+
+    nnz_per_tile: int = 2048  # EN, multiple of 8*128
+    rows_per_tile: int = 1024  # RW, multiple of 8*128
+
+    def __post_init__(self):
+        assert self.nnz_per_tile % LANES == 0
+        assert self.rows_per_tile % LANES == 0
+
+
+# "stock" = the untuned default, standing in for cub_merge's use of the
+# library defaults (ref: cub_merge.cuh:16-55); "tuned" is the policy
+# the tuning layer refits per TPU generation / matrix statistics.
+STOCK_POLICY = MergePolicy(nnz_per_tile=1024, rows_per_tile=1024)
+TUNED_POLICY = MergePolicy(nnz_per_tile=2048, rows_per_tile=1024)
+
+
+@dataclasses.dataclass
+class MergePlan:
+    """Host-precomputed merge schedule for one (matrix, policy)."""
+
+    policy: MergePolicy
+    n_tiles: int
+    # Device arrays:
+    aj_tiles: jax.Array  # (T, EN) int32, padded column indices
+    ax_tiles: jax.Array  # (T, EN) values, padded
+    rel_tiles: jax.Array  # (T, S, 128) int32 local row ids (non-decreasing)
+    pend_tiles: jax.Array  # (T, P, 128) int32 row-end flat positions, -1 = none
+    r_start: jax.Array  # (T,) int32 first global row of tile
+    lrow: jax.Array  # (T,) int32 last global row touched by tile
+    cnt: jax.Array  # (T,) int32 valid nnz in tile
+    owner_idx: jax.Array  # (n_rows,) int32 flat index into (T*RW [+1 pad]) output
+
+
+def build_merge_plan(A: CSR, policy: MergePolicy) -> MergePlan:
+    """Greedy merge-path split: each tile takes nnz until it hits the
+    EN nnz budget or the RW row-span budget (the host-side replacement
+    for DeviceSpmvSearchKernel, ref: dispatch_spmv_orig.cuh:104-148).
+    """
+    EN, RW = policy.nnz_per_tile, policy.rows_per_tile
+    Ap = np.asarray(A.Ap, dtype=np.int64)
+    Aj = np.asarray(A.Aj)
+    Ax = np.asarray(A.Ax)
+    nnz = int(Ap[-1])
+    n_rows = A.n_rows
+    row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), Ap[1:] - Ap[:-1])
+
+    # --- tile boundaries ---
+    k_starts = []
+    k = 0
+    while k < nnz:
+        r0 = int(row_ids[k])
+        k_row_limit = Ap[min(r0 + RW, n_rows)]
+        k_next = min(k + EN, int(k_row_limit), nnz)
+        assert k_next > k
+        k_starts.append(k)
+        k = k_next
+    T = len(k_starts)
+    k_starts = np.asarray(k_starts + [nnz], dtype=np.int64)
+
+    if T == 0:
+        # Empty matrix: no tiles; owner map sends every row to the pad slot.
+        zero_i32 = np.zeros((0,), np.int32)
+        return MergePlan(
+            policy=policy,
+            n_tiles=0,
+            aj_tiles=jnp.zeros((0, EN), jnp.int32),
+            ax_tiles=jnp.zeros((0, EN), jnp.asarray(Ax).dtype if Ax.size else jnp.float32),
+            rel_tiles=jnp.zeros((0, EN // LANES, LANES), jnp.int32),
+            pend_tiles=jnp.zeros((0, RW // LANES, LANES), jnp.int32),
+            r_start=jnp.asarray(zero_i32),
+            lrow=jnp.asarray(zero_i32),
+            cnt=jnp.asarray(zero_i32),
+            owner_idx=jnp.zeros((n_rows,), jnp.int32),
+        )
+
+    cnt = (k_starts[1:] - k_starts[:-1]).astype(np.int64)
+    r_start = row_ids[k_starts[:-1]].astype(np.int64)
+    lrow = row_ids[k_starts[1:] - 1].astype(np.int64)
+
+    # --- padded per-tile nnz arrays ---
+    # gather indices: tile t element e -> k_starts[t]+e (clamped)
+    e_idx = np.arange(EN, dtype=np.int64)
+    flat_k = np.minimum(k_starts[:-1, None] + e_idx[None, :], nnz - 1)
+    valid = e_idx[None, :] < cnt[:, None]
+    aj_tiles = np.where(valid, Aj[flat_k], 0).astype(np.int32)
+    ax_tiles = np.where(valid, Ax[flat_k], 0).astype(Ax.dtype)
+    rel = np.where(valid, row_ids[flat_k] - r_start[:, None], 0)
+    # Pad elements continue the last valid segment so they never open a
+    # new one (their product is masked to the identity at combine time).
+    last_rel = np.take_along_axis(rel, np.maximum(cnt - 1, 0)[:, None], axis=1)
+    rel = np.where(valid, rel, last_rel).astype(np.int32)
+
+    # --- per-tile row-end positions (gather targets) ---
+    # For local row r of tile t (global g = r_start[t]+r): the last
+    # in-tile element position of row g, or -1 if the row has no
+    # elements in this tile.
+    r_idx = np.arange(RW, dtype=np.int64)
+    g = r_start[:, None] + r_idx[None, :]  # (T, RW)
+    g_clamped = np.minimum(g, n_rows - 1)
+    seg_begin = np.maximum(Ap[g_clamped], k_starts[:-1, None])
+    seg_end = np.minimum(Ap[g_clamped + 1], k_starts[1:, None])
+    pend = seg_end - k_starts[:-1, None] - 1
+    has_elems = (seg_end > seg_begin) & (g < n_rows)
+    pend = np.where(has_elems, pend, -1).astype(np.int32)
+
+    # --- ownership map: for each row, the flat output slot of the last
+    # tile touching it; empty rows -> the identity pad slot (T*RW). ---
+    owner = np.searchsorted(r_start, np.arange(n_rows), side="right") - 1
+    owner = np.clip(owner, 0, T - 1)
+    local = np.arange(n_rows) - r_start[owner]
+    owner_valid = (local >= 0) & (local < RW) & (np.arange(n_rows) <= lrow[owner])
+    owner_idx = np.where(owner_valid, owner * RW + local, T * RW).astype(np.int64)
+    if T * RW + 1 > np.iinfo(np.int32).max:
+        raise OverflowError("merge plan output exceeds int32 indexing")
+    owner_idx = owner_idx.astype(np.int32)
+
+    S = EN // LANES
+    P = RW // LANES
+    return MergePlan(
+        policy=policy,
+        n_tiles=T,
+        aj_tiles=jnp.asarray(aj_tiles),
+        ax_tiles=jnp.asarray(ax_tiles),
+        rel_tiles=jnp.asarray(rel.reshape(T, S, LANES)),
+        pend_tiles=jnp.asarray(pend.reshape(T, P, LANES)),
+        r_start=jnp.asarray(r_start.astype(np.int32)),
+        lrow=jnp.asarray(lrow.astype(np.int32)),
+        cnt=jnp.asarray(cnt.astype(np.int32)),
+        owner_idx=jnp.asarray(owner_idx),
+    )
+
+
+def _merge_tile_kernel(sr: Semiring, identity: float, S: int, P: int):
+    """Build the per-tile kernel body for a given semiring and shape."""
+
+    def kernel(r_start_ref, lrow_ref, cnt_ref, prod_ref, rel_ref, pend_ref,
+               out_ref, carry_row_ref, carry_val_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            carry_row_ref[0] = -1
+            carry_val_ref[0] = identity
+
+        prod = prod_ref[0]  # (S, 128)
+        rel = rel_ref[0]  # (S, 128)
+        pend = pend_ref[0]  # (P, 128)
+
+        # Segmented inclusive scan by local row id (reduce-by-key analog).
+        scan = segmented_scan_tile(prod, rel, sr.reduce, identity)
+
+        # Row values = scan at each row's last in-tile position.
+        y_win = gather_flat(scan, pend, identity)  # (P, 128)
+
+        # Fold the running carry into this tile's first row if it is the
+        # same global row the previous tile ended on (fixup analog).
+        r0 = r_start_ref[t]
+        fold = carry_row_ref[0] == r0
+        carry_in = carry_val_ref[0]
+        first_elem = flat_iota((P, LANES)) == 0
+        y_win = jnp.where(
+            jnp.logical_and(fold, first_elem),
+            sr.reduce(jnp.full_like(y_win, carry_in), y_win),
+            y_win,
+        )
+        out_ref[0] = y_win
+
+        # Update the carry with this tile's last-row value.
+        p_last = cnt_ref[t] - 1
+        last_mask = flat_iota((S, LANES)) == p_last
+        raw = sr.reduce_array(jnp.where(last_mask, scan, identity))
+        lr = lrow_ref[t]
+        tile_is_one_row = jnp.logical_and(fold, lr == r0)
+        carry_val_ref[0] = jnp.where(
+            tile_is_one_row, sr.reduce(carry_in, raw), raw
+        )
+        carry_row_ref[0] = lr
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr_name", "n_rows", "T", "S", "P", "interpret", "val_dtype"),
+)
+def _merge_spmv_device(
+    aj_tiles, ax_tiles, rel_tiles, pend_tiles, r_start, lrow, cnt, owner_idx, x,
+    *, sr_name: str, n_rows: int, T: int, S: int, P: int, interpret: bool,
+    val_dtype,
+):
+    from spmv_tpu.ops.semiring import BUILTIN_SEMIRINGS
+
+    sr = BUILTIN_SEMIRINGS[sr_name]
+    EN = S * LANES
+    RW = P * LANES
+    identity = float(sr.identity_for(np.dtype(val_dtype)))
+
+    # Phase A (XLA): gather x and form products, masked to the identity
+    # beyond each tile's valid count.
+    xg = jnp.take(x, aj_tiles.reshape(-1), fill_value=0).reshape(T, EN)
+    prod = sr.combine(ax_tiles.astype(val_dtype), xg.astype(val_dtype))
+    e_iota = jax.lax.broadcasted_iota(jnp.int32, (T, EN), 1)
+    prod = jnp.where(e_iota < cnt[:, None], prod, identity)
+    prod = prod.reshape(T, S, LANES)
+
+    # Phase B (Pallas): per-tile segmented reduction with carry chain.
+    kernel = _merge_tile_kernel(sr, identity, S, P)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, S, LANES), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, S, LANES), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, P, LANES), lambda t, *_: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, P, LANES), lambda t, *_: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.dtype(val_dtype)),
+        ],
+    )
+    y_tiles = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, P, LANES), jnp.dtype(val_dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(r_start, lrow, cnt, prod, rel_tiles, pend_tiles)
+
+    # Phase C (XLA): assemble y by ownership gather (no scatter). The
+    # identity participates in every row reduction, matching the
+    # oracle's acc = initialize() (ref: cpu_navie.hpp:20-35).
+    y_flat = jnp.concatenate(
+        [y_tiles.reshape(T * RW), jnp.full((1,), identity, dtype=val_dtype)]
+    )
+    y = jnp.take(y_flat, owner_idx)
+    return sr.reduce(y, jnp.full_like(y, identity))
+
+
+def _merge_impl(A: CSR, x, semiring: Semiring, policy: MergePolicy):
+    if semiring.name not in ("plus_times", "min_plus", "max_times", "or_and"):
+        raise ValueError(
+            f"merge kernels support the built-in semirings; got {semiring.name!r}"
+        )
+    x = jnp.asarray(x)
+    val_dtype = jnp.result_type(jnp.asarray(np.asarray(A.Ax)[:0]), x.dtype)
+    if val_dtype == jnp.float64:
+        val_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    ident = float(semiring.identity_for(np.dtype(val_dtype)))
+    if A.nnz == 0 or A.n_cols == 0:
+        return jnp.full((A.n_rows,), ident, dtype=val_dtype)
+    plan: MergePlan = plan_cache(
+        A, ("merge", policy), lambda: build_merge_plan(A, policy)
+    )
+    S = policy.nnz_per_tile // LANES
+    P = policy.rows_per_tile // LANES
+    return _merge_spmv_device(
+        plan.aj_tiles, plan.ax_tiles, plan.rel_tiles, plan.pend_tiles,
+        plan.r_start, plan.lrow, plan.cnt, plan.owner_idx, x,
+        sr_name=semiring.name, n_rows=A.n_rows, T=plan.n_tiles, S=S, P=P,
+        interpret=config.use_interpret(), val_dtype=np.dtype(val_dtype),
+    )
+
+
+@register("merge", supports_semiring=True,
+          reference_analog="merge_based/* (dispatch_spmv_orig.cuh:533-769)")
+def _merge(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
+    """Merge-path SpMV, tuned policy (ref: include/spmv/merge_based/*)."""
+    return _merge_impl(A, x, semiring, TUNED_POLICY)
+
+
+@register("merge_stock", reference_analog="cub_merge.cuh:16-55",
+          aliases=("cub_merge",), supports_semiring=True)
+def _merge_stock(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
+    """Merge-path SpMV with library-default policy (cub_merge analog)."""
+    return _merge_impl(A, x, semiring, STOCK_POLICY)
+
+
+@register("merge_genl", supports_semiring=True,
+          reference_analog="merge_genl/* (merge_genl.cuh:41-80)")
+def _merge_genl(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
+    """Semiring-generalized merge-path SpMV (ref: include/spmv/merge_genl/*)."""
+    return _merge_impl(A, x, semiring, TUNED_POLICY)

@@ -1,0 +1,148 @@
+"""Benchmark timing that is honest on TPU.
+
+The reference times 2000 dispatches with a host timer
+(ref: main.cu:102-113, timer.hpp), and for several kinds its "kernel"
+window doesn't even synchronize (BASELINE.md notes). On TPU — and
+especially through a remote-tunnel runtime where dispatch latency
+dwarfs kernel time and identical dispatches may be coalesced — honest
+kernel timing requires:
+
+1. a warmup call (compilation excluded),
+2. iterations chained on-device inside ONE dispatch
+   (`lax.fori_loop` with a data dependency so XLA can neither hoist
+   the body nor fuse duplicate iterations),
+3. a host fetch of a dependent scalar to close the pipeline.
+
+We report both windows, like the reference's total vs kernel timers
+(ref: timer.hpp:17-39): `total_s` = one full dispatch round-trip,
+`kernel_s` = per-iteration time of the device-chained loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class BenchResult:
+    kind: str
+    total_s: float  # single full dispatch (host-observed)
+    kernel_s: float  # per-iteration device time
+    iters: int
+    nnz: int
+    n_rows: int
+    gnnz_per_s: float
+    gflops: float
+    gbytes_per_s: float
+    sol_fraction: Optional[float] = None
+    delta: Optional[dict] = None
+
+    def row(self) -> str:
+        sol = f"{100*self.sol_fraction:6.1f}%" if self.sol_fraction is not None else "   n/a"
+        d = f" Δmean={self.delta['mean_abs']:.3e}" if self.delta else ""
+        return (
+            f"{self.kind:18s} kernel {self.kernel_s*1e3:9.4f} ms  "
+            f"total {self.total_s*1e3:9.3f} ms  "
+            f"{self.gnnz_per_s:8.2f} Gnnz/s  {self.gflops:8.2f} GFLOP/s  "
+            f"SoL {sol}{d}"
+        )
+
+
+def _device_loop(fn: Callable, x0: jax.Array, iters: int):
+    """Build a jitted function running `iters` chained fn evaluations.
+
+    The loop carries (x, acc); each iteration's y feeds both a checksum
+    and — through a runtime-false select — the next x, so XLA must run
+    every iteration in order and cannot hoist the SpMV out of the loop.
+    """
+    def body(_, carry):
+        x, acc = carry
+        y = fn(x)
+        acc = acc + y.reshape(-1)[0].astype(jnp.float32)
+        # Runtime-false (acc is finite), compile-time-unknown select:
+        # keeps x numerically constant while forcing the dependency.
+        taint = jnp.where(jnp.isnan(acc), y.reshape(-1)[0].astype(x.dtype), 0)
+        x = x.at[0].add(taint)
+        return x, acc
+
+    @jax.jit
+    def run(x):
+        x, acc = jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0)))
+        return acc + x.reshape(-1)[0].astype(jnp.float32)
+
+    return run
+
+
+def benchmark_fn(fn: Callable, x0, iters: int = 50, warmup: bool = True):
+    """Time `fn(x)` with device-chained iterations. Returns (total_s, kernel_s)."""
+    x0 = jnp.asarray(x0)
+
+    # total: one full dispatch, host-observed, forced by host fetch.
+    y = fn(x0)
+    _ = np.asarray(jax.tree_util.tree_leaves(y)[0])  # compile + settle
+    t0 = time.perf_counter()
+    y = fn(x0)
+    _ = np.asarray(jax.tree_util.tree_leaves(y)[0])
+    total_s = time.perf_counter() - t0
+
+    run = _device_loop(fn, x0, iters)
+    if warmup:
+        float(run(x0))
+    t0 = time.perf_counter()
+    s = float(run(x0))
+    elapsed = time.perf_counter() - t0
+    if not np.isfinite(s):
+        raise RuntimeError("benchmark checksum is not finite")
+    kernel_s = elapsed / iters
+    return total_s, kernel_s
+
+
+def benchmark_spmv(
+    kind: str,
+    A,
+    x,
+    iters: int = 50,
+    semiring=None,
+    check: bool = True,
+) -> BenchResult:
+    from spmv_tpu.ops.registry import spmv
+    from spmv_tpu.ops.reference import spmv_ref, correctness_delta
+    from spmv_tpu.utils.roofline import speed_of_light
+
+    x = jnp.asarray(x)
+
+    def fn(xv):
+        return spmv(kind, A, xv, semiring=semiring)
+
+    delta = None
+    if check:
+        y = np.asarray(fn(x))
+        y_ref = spmv_ref(A, np.asarray(x), y_dtype=np.float64) if semiring is None else None
+        if y_ref is not None:
+            delta = correctness_delta(y_ref, y)
+
+    total_s, kernel_s = benchmark_fn(fn, x, iters=iters)
+    nnz, n_rows = A.nnz, A.n_rows
+    gnnz = nnz / kernel_s / 1e9
+    model = speed_of_light(nnz, n_rows)
+    sol = model.sol_nnz_per_s(A.mean_nnz_per_row)
+    bytes_moved = nnz * (model.bytes_per_nnz) + n_rows * model.bytes_per_row
+    return BenchResult(
+        kind=kind,
+        total_s=total_s,
+        kernel_s=kernel_s,
+        iters=iters,
+        nnz=nnz,
+        n_rows=n_rows,
+        gnnz_per_s=gnnz,
+        gflops=2 * nnz / kernel_s / 1e9,
+        gbytes_per_s=bytes_moved / kernel_s / 1e9,
+        sol_fraction=gnnz * 1e9 / sol,
+        delta=delta,
+    )

@@ -1,0 +1,80 @@
+"""Multi-chip SpMV tests on a simulated 8-device CPU mesh (SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from spmv_tpu import spmv_ref
+from spmv_tpu.io.generate import power_law_csr, random_csr, banded_csr
+from spmv_tpu.ops.semiring import MIN_PLUS
+from spmv_tpu.ops.reference import spmv_ref_semiring
+from spmv_tpu.parallel import distribute_csr, partition_rows
+
+
+def _mesh(n):
+    devs = np.array(jax.devices()[:n])
+    return Mesh(devs, ("shards",))
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_distributed_matches_oracle(n_devices):
+    A = power_law_csr(500, 500, 6000, seed=3)
+    x = np.random.default_rng(0).standard_normal(500).astype(np.float32)
+    dist = distribute_csr(A, _mesh(n_devices))
+    y = np.asarray(dist.matvec(x))
+    np.testing.assert_allclose(y, spmv_ref(A, x, np.float64), rtol=2e-5, atol=1e-5)
+
+
+def test_distributed_rectangular():
+    A = random_csr(300, 170, 2500, seed=5)
+    x = np.random.default_rng(1).standard_normal(170).astype(np.float32)
+    dist = distribute_csr(A, _mesh(4))
+    y = np.asarray(dist.matvec(x))
+    np.testing.assert_allclose(y, spmv_ref(A, x, np.float64), rtol=2e-5, atol=1e-5)
+
+
+def test_distributed_semiring():
+    A = random_csr(200, 200, 1500, seed=6)
+    Ax = np.abs(np.asarray(A.Ax)).astype(np.float32)
+    from spmv_tpu.formats import COO, coo_to_csr
+
+    A = coo_to_csr(COO(200, 200, A.row_ids(), np.asarray(A.Aj), Ax))
+    x = np.abs(np.random.default_rng(2).standard_normal(200)).astype(np.float32)
+    dist = distribute_csr(A, _mesh(4))
+    y = np.asarray(dist.matvec(x, semiring=MIN_PLUS))
+    y_ref = spmv_ref_semiring(A, x, MIN_PLUS, y_dtype=np.float32)
+    np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=1e-5)
+
+
+def test_partition_merge_balance():
+    # nnz-balanced split: no shard should hold a wildly outsized nnz share.
+    A = power_law_csr(1000, 1000, 20000, seed=7)
+    part = partition_rows(A, 8, balance="merge")
+    Ap = np.asarray(A.Ap, np.int64)
+    shard_nnz = Ap[part.row_starts[1:]] - Ap[part.row_starts[:-1]]
+    items = shard_nnz + (part.row_starts[1:] - part.row_starts[:-1])
+    mean = items.mean()
+    # merge balance bounds each shard's items near the mean (within the
+    # largest single row, which cannot be split in a 1-D row partition).
+    max_row = A.row_lengths().max()
+    assert items.max() <= mean + max_row + 1
+
+
+def test_partition_empty_and_tiny():
+    A = banded_csr(5, 1)
+    part = partition_rows(A, 8)
+    assert part.row_starts[-1] == 5
+    dist = distribute_csr(A, _mesh(8))
+    x = np.ones(5, np.float32)
+    y = np.asarray(dist.matvec(x))
+    np.testing.assert_allclose(y, spmv_ref(A, x, np.float64), rtol=1e-5, atol=1e-6)
+
+
+def test_weak_scaling_structure():
+    # Same per-shard work at 2 and 4 shards: partition sizes stay flat.
+    A = random_csr(800, 800, 16000, seed=8)
+    p2 = partition_rows(A, 2)
+    p4 = partition_rows(A, 4)
+    assert p4.nnz_per_shard <= p2.nnz_per_shard
