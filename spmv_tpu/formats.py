@@ -154,15 +154,30 @@ def coo_to_csr(
     if cols.size and (_asnumpy(cols).min() < 0 or _asnumpy(cols).max() >= n_cols):
         raise ValueError("COO col index out of range")
 
-    counts = np.bincount(rows, minlength=n_rows).astype(np.int64)
-    Ap = np.zeros(n_rows + 1, dtype=np.int64)
-    np.cumsum(counts, out=Ap[1:])
-    if Ap[-1] != rows.size:
-        raise AssertionError("internal: offset sum mismatch")
-    # Stable counting-sort placement, vectorized: stable argsort by row.
-    order = np.argsort(rows, kind="stable")
-    Aj = cols[order]
-    Ax = vals[order]
+    # Stable counting sort; the native C++ path (spmv_tpu/native/
+    # host.cpp spmv_coo_to_csr) when available, NumPy stable argsort
+    # otherwise. Both preserve per-row input order.
+    order = None
+    i32max = np.iinfo(np.int32).max
+    if n_rows <= i32max and n_cols <= i32max and np.issubdtype(cols.dtype, np.integer):
+        try:
+            from spmv_tpu import native
+
+            if native.available():
+                Ap, Aj_n, order = native.coo_to_csr_perm(n_rows, rows, cols)
+                Aj = Aj_n.astype(cols.dtype, copy=False)
+                Ax = vals[order]
+        except (NotImplementedError, ValueError):
+            order = None
+    if order is None:
+        counts = np.bincount(rows, minlength=n_rows).astype(np.int64)
+        Ap = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=Ap[1:])
+        if Ap[-1] != rows.size:
+            raise AssertionError("internal: offset sum mismatch")
+        order = np.argsort(rows, kind="stable")
+        Aj = cols[order]
+        Ax = vals[order]
 
     if sum_duplicates:
         # Sort within rows by column and merge equal (row, col) runs.

@@ -70,12 +70,47 @@ def read_matrix_market(
     index_dtype=np.int32,
     as_csr: bool = False,
     offset_dtype=np.int32,
+    use_native: bool = True,
 ):
     """Read a Matrix Market file into a COO (or CSR when as_csr=True).
 
     Mirrors LoadCoo (ref: load.hpp:268-408): pattern values become 1,
     symmetric off-diagonals are expanded, indices converted to 0-based.
+
+    File paths go through the native C++ parser when the bundled
+    extension is available (spmv_tpu/native/host.cpp — the loader
+    load.hpp analog); file objects, .gz streams and array-format files
+    use this pure-Python implementation, which is also the semantics
+    oracle the native path is tested against.
     """
+    if (
+        use_native
+        and not hasattr(path_or_file, "read")
+        and not str(path_or_file).endswith(".gz")
+    ):
+        try:
+            from spmv_tpu import native
+
+            n_rows, n_cols, rows, cols, vals = native.mm_read(str(path_or_file))
+            info = np.iinfo(np.dtype(index_dtype))
+            if max(n_rows, n_cols) - 1 > info.max:
+                raise OverflowError(
+                    f"matrix dimension overflows index dtype {np.dtype(index_dtype)}"
+                )
+            coo = COO(
+                n_rows,
+                n_cols,
+                rows.astype(index_dtype, copy=False),
+                cols.astype(index_dtype, copy=False),
+                vals.astype(value_dtype),
+            )
+            if as_csr:
+                return coo_to_csr(coo, offset_dtype=offset_dtype, index_dtype=index_dtype)
+            return coo
+        except NotImplementedError:
+            pass  # unsupported feature or no toolchain: Python fallback
+        except ValueError as e:
+            raise MatrixMarketError(str(e)) from e
     f = _open(path_or_file)
     banner = f.readline()
     fmt, field, symmetry = parse_banner(banner)

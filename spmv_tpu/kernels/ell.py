@@ -67,29 +67,42 @@ def build_ell_plan(A: CSR, rows: np.ndarray, width: int) -> EllPlan:
     Aj = np.asarray(A.Aj)
     Ax = np.asarray(A.Ax)
     rows = np.asarray(rows, dtype=np.int64)
-    lens = Ap[rows + 1] - Ap[rows]
-    n_chunks = np.maximum((lens + W - 1) // W, 1)
-    V = int(n_chunks.sum())
+
+    # Native C++ chunk walk when available (spmv_tpu/native/host.cpp
+    # spmv_ell_fill); NumPy fallback below has identical semantics.
+    k = valid = vrow_row = None
+    try:
+        from spmv_tpu import native
+
+        if native.available():
+            k, valid, vrow_row = native.ell_chunks(rows, Ap, W, int(Ap[-1]))
+    except (NotImplementedError, ValueError):
+        k = None
+    if k is None:
+        lens = Ap[rows + 1] - Ap[rows]
+        n_chunks = np.maximum((lens + W - 1) // W, 1)
+        V = int(n_chunks.sum())
+        # chunk -> (row, chunk_index_within_row)
+        vrow_row = np.repeat(rows, n_chunks)
+        chunk_in_row = np.arange(V, dtype=np.int64) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks
+        )
+        # element (v, w) -> CSR position
+        k = (
+            np.repeat(Ap[vrow_row] + chunk_in_row * W, W).reshape(V, W)
+            + np.arange(W, dtype=np.int64)[None, :]
+        )
+        k_end = np.repeat(Ap[vrow_row + 1], W).reshape(V, W)
+        valid = k < k_end
+        k = np.minimum(k, max(int(Ap[-1]) - 1, 0))
+        vrow_row = vrow_row.astype(np.int32)
+    V = vrow_row.shape[0]
     Tv = max((V + slots_per_tile - 1) // slots_per_tile, 1)
     V_pad = Tv * slots_per_tile
-
-    # chunk -> (row, chunk_index_within_row)
-    vrow_row = np.repeat(rows, n_chunks)
-    chunk_in_row = np.arange(V, dtype=np.int64) - np.repeat(
-        np.cumsum(n_chunks) - n_chunks, n_chunks
-    )
-    # element (v, w) -> CSR position
-    k = (
-        np.repeat(Ap[vrow_row] + chunk_in_row * W, W).reshape(V, W)
-        + np.arange(W, dtype=np.int64)[None, :]
-    )
-    k_end = np.repeat(Ap[vrow_row + 1], W).reshape(V, W)
-    valid = k < k_end
     if int(Ap[-1]) == 0:  # empty matrix: all slots invalid
         aj = np.zeros((V, W), np.int32)
         ax = np.zeros((V, W), Ax.dtype if Ax.size else np.float32)
     else:
-        k = np.minimum(k, int(Ap[-1]) - 1)
         aj = np.where(valid, Aj[k], 0).astype(np.int32)
         ax = np.where(valid, Ax[k], 0).astype(Ax.dtype)
 

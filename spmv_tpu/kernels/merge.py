@@ -111,6 +111,39 @@ def build_merge_plan(A: CSR, policy: MergePolicy) -> MergePlan:
     n_rows = A.n_rows
     row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), Ap[1:] - Ap[:-1])
 
+    # Native C++ tile walk + fill when available (spmv_tpu/native/
+    # host.cpp spmv_merge_fill); identical semantics to the NumPy path
+    # below (tested against it in tests/test_native.py).
+    if nnz > 0:
+        try:
+            from spmv_tpu import native
+
+            if native.available():
+                mt = native.merge_tiles(n_rows, Ap, row_ids, EN, RW)
+                T = mt["n_tiles"]
+                if T * RW + 1 > np.iinfo(np.int32).max:
+                    raise OverflowError("merge plan output exceeds int32 indexing")
+                cnt = mt["cnt"].astype(np.int64)
+                e_idx = np.arange(EN, dtype=np.int64)
+                valid = e_idx[None, :] < cnt[:, None]
+                aj_tiles = np.where(valid, Aj[mt["flat_k"]], 0).astype(np.int32)
+                ax_tiles = np.where(valid, Ax[mt["flat_k"]], 0).astype(Ax.dtype)
+                S, P = EN // LANES, RW // LANES
+                return MergePlan(
+                    policy=policy,
+                    n_tiles=T,
+                    aj_tiles=jnp.asarray(aj_tiles),
+                    ax_tiles=jnp.asarray(ax_tiles),
+                    rel_tiles=jnp.asarray(mt["rel"].reshape(T, S, LANES)),
+                    pend_tiles=jnp.asarray(mt["pend"].reshape(T, P, LANES)),
+                    r_start=jnp.asarray(mt["r_start"]),
+                    lrow=jnp.asarray(mt["lrow"]),
+                    cnt=jnp.asarray(mt["cnt"]),
+                    owner_idx=jnp.asarray(mt["owner_idx"]),
+                )
+        except (NotImplementedError, ValueError):
+            pass
+
     # --- tile boundaries ---
     k_starts = []
     k = 0

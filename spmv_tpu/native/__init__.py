@@ -1,0 +1,212 @@
+"""Native (C++) host runtime bindings.
+
+The reference's host layer is native C++ (loader load.hpp, CSR
+conversion, merge-path search thread_search.cuh/dispatch); this package
+provides the TPU build's native equivalents, exposed over a plain C
+ABI and bound with ctypes (no pybind11 dependency):
+
+- ``mm_read(path)``            — fast Matrix Market parse (+symmetric expansion)
+- ``coo_to_csr(...)``          — stable counting sort
+- ``merge_tiles(...)``         — merge plan tile walk + padded tile fill
+- ``ell_chunks(...)``          — ELL chunking for the csr-vector family
+
+The library is compiled on first use with g++ -O2 and cached next to
+this file; every caller has a pure-NumPy fallback, so a missing
+toolchain degrades performance, not capability.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import tempfile
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "host.cpp")
+_LIB_PATH = os.path.join(_HERE, "_spmv_host.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+class _MMResult(ctypes.Structure):
+    _fields_ = [
+        ("n_rows", ctypes.c_int64),
+        ("n_cols", ctypes.c_int64),
+        ("nnz", ctypes.c_int64),
+        ("rows", ctypes.POINTER(ctypes.c_int32)),
+        ("cols", ctypes.POINTER(ctypes.c_int32)),
+        ("vals", ctypes.POINTER(ctypes.c_double)),
+        ("field", ctypes.c_int32),
+        ("symmetry", ctypes.c_int32),
+    ]
+
+
+def _build() -> str | None:
+    """Compile host.cpp to a shared library; return its path or None."""
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+        return _LIB_PATH
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            tmp = os.path.join(td, "_spmv_host.so")
+            subprocess.run(
+                ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp],
+                check=True, capture_output=True, timeout=240,
+            )
+            os.replace(tmp, _LIB_PATH)
+        return _LIB_PATH
+    except (OSError, subprocess.SubprocessError) as e:  # pragma: no cover
+        sys.stderr.write(f"spmv_tpu.native: build failed ({e}); using NumPy fallback\n")
+        return None
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("SPMV_TPU_NO_NATIVE"):
+            return None
+        path = _build()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError as e:  # pragma: no cover
+            sys.stderr.write(f"spmv_tpu.native: load failed ({e})\n")
+            return None
+        lib.spmv_last_error.restype = ctypes.c_char_p
+        lib.spmv_free.argtypes = [ctypes.c_void_p]
+        lib.spmv_mm_read.argtypes = [ctypes.c_char_p, ctypes.POINTER(_MMResult)]
+        lib.spmv_mm_read.restype = ctypes.c_int
+        I64 = ctypes.c_int64
+        P64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        P32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        PU8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.spmv_coo_to_csr.argtypes = [I64, I64, P32, P32, P64, P32, P64]
+        lib.spmv_coo_to_csr.restype = ctypes.c_int
+        lib.spmv_merge_count_tiles.argtypes = [I64, I64, P64, P64, I64, I64]
+        lib.spmv_merge_count_tiles.restype = I64
+        lib.spmv_merge_fill.argtypes = [
+            I64, I64, P64, P64, I64, I64, I64,
+            P64, P32, P32, P32, P64, P32, P32, P32,
+        ]
+        lib.spmv_merge_fill.restype = ctypes.c_int
+        lib.spmv_ell_count_chunks.argtypes = [I64, P64, P64, I64]
+        lib.spmv_ell_count_chunks.restype = I64
+        lib.spmv_ell_fill.argtypes = [I64, P64, P64, I64, I64, I64, P64, PU8, P32]
+        lib.spmv_ell_fill.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _err(lib) -> str:
+    return lib.spmv_last_error().decode(errors="replace")
+
+
+def mm_read(path: str):
+    """Native .mtx parse. Returns (n_rows, n_cols, rows, cols, vals) with
+    0-based int32 indices, float64 values, symmetric entries expanded.
+    Raises ValueError on malformed files, NotImplementedError when the
+    native path can't handle the file (caller falls back to Python)."""
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("native library unavailable")
+    res = _MMResult()
+    rc = lib.spmv_mm_read(os.fsencode(path), ctypes.byref(res))
+    if rc != 0:
+        msg = _err(lib)
+        if "supported" in msg:
+            raise NotImplementedError(msg)
+        raise ValueError(f"{path}: {msg}")
+    try:
+        n = res.nnz
+        rows = np.ctypeslib.as_array(res.rows, shape=(n,)).copy() if n else np.empty(0, np.int32)
+        cols = np.ctypeslib.as_array(res.cols, shape=(n,)).copy() if n else np.empty(0, np.int32)
+        vals = np.ctypeslib.as_array(res.vals, shape=(n,)).copy() if n else np.empty(0, np.float64)
+    finally:
+        lib.spmv_free(res.rows)
+        lib.spmv_free(res.cols)
+        lib.spmv_free(res.vals)
+    return int(res.n_rows), int(res.n_cols), rows, cols, vals
+
+
+def coo_to_csr_perm(n_rows: int, rows: np.ndarray, cols: np.ndarray):
+    """Native stable counting sort. Returns (Ap int64, Aj int32, perm int64)
+    where perm maps CSR position -> original COO position."""
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("native library unavailable")
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    nnz = rows.shape[0]
+    Ap = np.zeros(n_rows + 1, dtype=np.int64)
+    Aj = np.empty(nnz, dtype=np.int32)
+    perm = np.empty(nnz, dtype=np.int64)
+    rc = lib.spmv_coo_to_csr(n_rows, nnz, rows, cols, Ap, Aj, perm)
+    if rc != 0:
+        raise ValueError(_err(lib))
+    return Ap, Aj, perm
+
+
+def merge_tiles(n_rows: int, Ap: np.ndarray, row_of_nnz: np.ndarray,
+                EN: int, RW: int):
+    """Native merge-plan build. Returns dict of plan arrays (see host.cpp)."""
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("native library unavailable")
+    Ap = np.ascontiguousarray(Ap, dtype=np.int64)
+    row_of_nnz = np.ascontiguousarray(row_of_nnz, dtype=np.int64)
+    nnz = row_of_nnz.shape[0]
+    T = lib.spmv_merge_count_tiles(n_rows, nnz, Ap, row_of_nnz, EN, RW)
+    if T < 0:
+        raise ValueError("merge tile walk failed to advance")
+    k_starts = np.empty(T + 1, dtype=np.int64)
+    r_start = np.empty(T, dtype=np.int32)
+    lrow = np.empty(T, dtype=np.int32)
+    cnt = np.empty(T, dtype=np.int32)
+    flat_k = np.empty(T * EN, dtype=np.int64)
+    rel = np.empty(T * EN, dtype=np.int32)
+    pend = np.empty(T * RW, dtype=np.int32)
+    owner_idx = np.empty(n_rows, dtype=np.int32)
+    rc = lib.spmv_merge_fill(n_rows, nnz, Ap, row_of_nnz, EN, RW, T,
+                             k_starts, r_start, lrow, cnt, flat_k, rel,
+                             pend, owner_idx)
+    if rc != 0:
+        raise ValueError(_err(lib))
+    return {
+        "n_tiles": int(T), "k_starts": k_starts, "r_start": r_start,
+        "lrow": lrow, "cnt": cnt,
+        "flat_k": flat_k.reshape(T, EN), "rel": rel.reshape(T, EN),
+        "pend": pend.reshape(T, RW), "owner_idx": owner_idx,
+    }
+
+
+def ell_chunks(sel_rows: np.ndarray, Ap: np.ndarray, W: int, nnz: int):
+    """Native ELL chunk plan. Returns (flat_k (V,W) int64, valid (V,W) bool,
+    vrow_row (V,) int32)."""
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("native library unavailable")
+    sel_rows = np.ascontiguousarray(sel_rows, dtype=np.int64)
+    Ap = np.ascontiguousarray(Ap, dtype=np.int64)
+    V = lib.spmv_ell_count_chunks(sel_rows.shape[0], sel_rows, Ap, W)
+    flat_k = np.empty(V * W, dtype=np.int64)
+    valid = np.empty(V * W, dtype=np.uint8)
+    vrow_row = np.empty(V, dtype=np.int32)
+    rc = lib.spmv_ell_fill(sel_rows.shape[0], sel_rows, Ap, W, V, nnz,
+                           flat_k, valid, vrow_row)
+    if rc != 0:
+        raise ValueError(_err(lib))
+    return (flat_k.reshape(V, W), valid.reshape(V, W).astype(bool), vrow_row)

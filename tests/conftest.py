@@ -7,9 +7,11 @@ multi-chip layer runs on a simulated 8-device mesh.
 
 import os
 
-# The axon sitecustomize registers a tunneled TPU backend whenever
-# PALLAS_AXON_POOL_IPS is set and forces jax_platforms; drop it so the
-# test suite genuinely runs on the virtual-device CPU backend.
+# The axon sitecustomize registers a tunneled TPU backend at
+# interpreter start and forces jax_platforms IN-PROCESS, so setting
+# JAX_PLATFORMS here is not enough — jax.config must be updated after
+# import (verified: env alone leaves jax.default_backend() == 'tpu'
+# and every test op becomes a tunnel round-trip that can deadlock).
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -17,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
