@@ -103,6 +103,8 @@ def _load():
         lib.spmv_ell_count_chunks.restype = I64
         lib.spmv_ell_fill.argtypes = [I64, P64, P64, I64, I64, I64, P64, PU8, P32]
         lib.spmv_ell_fill.restype = ctypes.c_int
+        lib.spmv_route_tiles.argtypes = [I64, P32, PU8, PU8, PU8]
+        lib.spmv_route_tiles.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -210,3 +212,21 @@ def ell_chunks(sel_rows: np.ndarray, Ap: np.ndarray, W: int, nnz: int):
     if rc != 0:
         raise ValueError(_err(lib))
     return (flat_k.reshape(V, W), valid.reshape(V, W).astype(bool), vrow_row)
+
+
+def route_tiles(src: np.ndarray):
+    """Native 3-stage tile routing (see ops/routing.py for semantics).
+    src: (T,128,128) int32. Returns (s1, s2, s3) uint8 arrays."""
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("native library unavailable")
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    T = src.shape[0]
+    s1 = np.empty((T, 128, 128), dtype=np.uint8)
+    s2 = np.empty((T, 128, 128), dtype=np.uint8)
+    s3 = np.empty((T, 128, 128), dtype=np.uint8)
+    rc = lib.spmv_route_tiles(T, src.reshape(-1), s1.reshape(-1),
+                              s2.reshape(-1), s3.reshape(-1))
+    if rc != 0:
+        raise ValueError(_err(lib))
+    return s1, s2, s3

@@ -454,4 +454,185 @@ int spmv_ell_fill(int64_t n_sel, const int64_t* sel_rows, const int64_t* Ap,
   return v == V ? 0 : fail("ell fill: chunk count mismatch");
 }
 
+// ---------------------------------------------------------------------------
+// 3-stage tile routing (the shuffle engine's plan-time core).
+//
+// Any within-(128,128)-tile gather out[r2,c2] = in[r1,c1] factors into
+//   lane-gather(s1) -> transpose -> lane-gather(s2) -> transpose
+//   -> lane-gather(s3)
+// by assigning each required (r1 -> r2) flow an intermediate lane
+// ("color") such that (i) per source row r1, each color carries one
+// source column c1, and (ii) per destination row r2, each color is
+// used at most once. With both deduped side degrees <= 128 this is a
+// 128-edge-coloring of a bipartite multigraph, which exists by Konig's
+// theorem and is constructed here by recursive Euler splitting (pad to
+// 128-regular with dummy edges; 7 halvings; each level walks Euler
+// circuits and alternates edges). This replaces, at plan time, the
+// role the GPU's arbitrary shared-memory scatter/gather plays inside
+// the reference's merge kernel staging (ref:
+// merge_based/agent_spmv_orig.cuh:454-679).
+// ---------------------------------------------------------------------------
+
+static void euler_color_128(const uint8_t* eu, const uint8_t* ev,
+                            uint8_t* group,  // in: 0s; out: color 0..127
+                            int* scratch /* >= 16384*3 + 256*2 ints */) {
+  const int E = 16384;
+  int* order = scratch;            // E: edge ids bucketed by group
+  int* adj = scratch + E;          // 2E: incident edge ids per vertex
+  int* head = scratch + 3 * E;     // 257: adjacency offsets (256 verts)
+  // reusable per-group state
+  static thread_local unsigned char visited[16384];
+  static thread_local int it[256];
+
+  for (int level = 0; level < 7; ++level) {
+    int ngroups = 1 << level;
+    // bucket edges by group (counting sort over <=64 groups)
+    int cnt[128] = {0};
+    for (int e = 0; e < E; ++e) cnt[group[e]]++;
+    int off[129];
+    off[0] = 0;
+    for (int g = 0; g < ngroups; ++g) off[g + 1] = off[g] + cnt[g];
+    {
+      int pos[128];
+      std::memcpy(pos, off, sizeof(int) * ngroups);
+      for (int e = 0; e < E; ++e) order[pos[group[e]]++] = e;
+    }
+    for (int g = 0; g < ngroups; ++g) {
+      int b = off[g], n = off[g + 1] - off[g];
+      if (n == 0) continue;
+      // adjacency: vertex u in [0,128), vertex 128+v
+      int deg[256] = {0};
+      for (int i = 0; i < n; ++i) {
+        int e = order[b + i];
+        deg[eu[e]]++;
+        deg[128 + ev[e]]++;
+      }
+      head[0] = 0;
+      for (int vtx = 0; vtx < 256; ++vtx) head[vtx + 1] = head[vtx] + deg[vtx];
+      for (int vtx = 0; vtx < 256; ++vtx) it[vtx] = head[vtx];
+      {
+        int pos[256];
+        std::memcpy(pos, head, sizeof(int) * 256);
+        for (int i = 0; i < n; ++i) {
+          int e = order[b + i];
+          adj[pos[eu[e]]++] = e;
+          adj[pos[128 + ev[e]]++] = e;
+        }
+      }
+      for (int i = 0; i < n; ++i) visited[order[b + i]] = 0;
+      // Euler circuits: walk from each unvisited edge's left vertex;
+      // with all degrees even the walk closes, alternating sides.
+      for (int i = 0; i < n; ++i) {
+        int e0 = order[b + i];
+        if (visited[e0]) continue;
+        int cur = eu[e0];
+        int side = 0;
+        for (;;) {
+          int e = -1;
+          while (it[cur] < head[cur + 1]) {
+            int cand = adj[it[cur]++];
+            if (!visited[cand]) { e = cand; break; }
+          }
+          if (e < 0) break;  // circuit closed at start vertex
+          visited[e] = 1;
+          group[e] = (uint8_t)(2 * g + side);
+          side ^= 1;
+          cur = (cur < 128) ? 128 + ev[e] : eu[e];
+        }
+      }
+    }
+  }
+}
+
+// src: (T,128,128) int32 flat in-tile source positions (r1*128+c1),
+// -1 for don't-care slots. s1,s2,s3: (T,128,128) uint8 outputs.
+// Returns 0, or -1 if a tile's deduped degree exceeds 128.
+int spmv_route_tiles(int64_t T, const int32_t* src,
+                     uint8_t* s1, uint8_t* s2, uint8_t* s3) {
+  const int E = 16384;
+  // triple dedupe map over (r1,c1,r2): 2M slots, epoch-stamped
+  int32_t* stamp = (int32_t*)std::calloc(128 * 128 * 128, sizeof(int32_t));
+  int32_t* eid = (int32_t*)std::malloc(128 * 128 * 128 * sizeof(int32_t));
+  uint8_t* eu = (uint8_t*)std::malloc(E);
+  uint8_t* ev = (uint8_t*)std::malloc(E);
+  uint8_t* ec1 = (uint8_t*)std::malloc(E);
+  uint8_t* group = (uint8_t*)std::malloc(E);
+  int32_t* slot_edge = (int32_t*)std::malloc(E * sizeof(int32_t));
+  int* scratch = (int*)std::malloc((3 * E + 300) * sizeof(int));
+  if (!stamp || !eid || !eu || !ev || !ec1 || !group || !slot_edge || !scratch) {
+    std::free(stamp); std::free(eid); std::free(eu); std::free(ev);
+    std::free(ec1); std::free(group); std::free(slot_edge); std::free(scratch);
+    return fail("route: out of memory");
+  }
+  int rc = 0;
+  for (int64_t t = 0; t < T && rc == 0; ++t) {
+    const int32_t* S = src + t * E;
+    int32_t tstamp = (int32_t)t + 1;
+    int ne = 0;
+    int degl[128] = {0}, degr[128] = {0};
+    for (int r2 = 0; r2 < 128 && rc == 0; ++r2) {
+      for (int c2 = 0; c2 < 128; ++c2) {
+        int32_t sp = S[r2 * 128 + c2];
+        if (sp < 0) { slot_edge[r2 * 128 + c2] = -1; continue; }
+        if (sp >= E) { rc = fail("route: src out of range"); break; }
+        int r1 = sp >> 7, c1 = sp & 127;
+        int key = (sp << 7) | r2;
+        if (stamp[key] != tstamp) {
+          if (degl[r1] >= 128 || degr[r2] >= 128) {
+            rc = fail("route: tile degree exceeds 128 (too many distinct "
+                      "duplicated sources); split the gather");
+            break;
+          }
+          stamp[key] = tstamp;
+          eid[key] = ne;
+          eu[ne] = (uint8_t)r1;
+          ev[ne] = (uint8_t)r2;
+          ec1[ne] = (uint8_t)c1;
+          degl[r1]++;
+          degr[r2]++;
+          ++ne;
+        }
+        slot_edge[r2 * 128 + c2] = eid[key];
+      }
+    }
+    if (rc != 0) break;
+    // pad to 128-regular with dummy edges (two-pointer over deficits)
+    {
+      int li = 0, ri = 0;
+      while (ne < E) {
+        while (li < 128 && degl[li] >= 128) ++li;
+        while (ri < 128 && degr[ri] >= 128) ++ri;
+        if (li >= 128 || ri >= 128) { rc = fail("route: pad imbalance"); break; }
+        eu[ne] = (uint8_t)li;
+        ev[ne] = (uint8_t)ri;
+        ec1[ne] = 0;
+        degl[li]++;
+        degr[ri]++;
+        ++ne;
+      }
+    }
+    if (rc != 0) break;
+    std::memset(group, 0, E);
+    euler_color_128(eu, ev, group, scratch);
+    uint8_t* S1 = s1 + t * E;
+    uint8_t* S2 = s2 + t * E;
+    uint8_t* S3 = s3 + t * E;
+    std::memset(S1, 0, E);
+    std::memset(S2, 0, E);
+    std::memset(S3, 0, E);
+    for (int e = 0; e < E; ++e) {
+      int k = group[e];
+      S1[eu[e] * 128 + k] = ec1[e];
+      S2[k * 128 + ev[e]] = eu[e];
+    }
+    for (int i = 0; i < E; ++i) {
+      int e = slot_edge[i];
+      if (e >= 0) S3[i] = group[e];
+    }
+  }
+  std::free(stamp); std::free(eid); std::free(eu); std::free(ev);
+  std::free(ec1); std::free(group); std::free(slot_edge); std::free(scratch);
+  return rc;
+}
+
 }  // extern "C"
