@@ -18,9 +18,13 @@ Strategy map (reference kind → TPU-native kind):
 | ``cub_merge``                 | ``merge_stock``      | merge-path, default policy       |
 | ``merge``                     | ``merge``            | merge-path, tuned policy         |
 | ``merge_genl``                | ``merge_genl``       | merge-path over a Semiring       |
+| (beyond the reference)        | ``stream``           | gather pass + planned shuffle +  |
+|                               |                      | segmented scan (flagship; see    |
+|                               |                      | docs/DESIGN_stream.md)           |
 """
 
 from spmv_tpu.kernels import baseline  # noqa: F401  (registers cpu_naive, xla, dense)
 from spmv_tpu.kernels import csr_vector  # noqa: F401
 from spmv_tpu.kernels import light  # noqa: F401
 from spmv_tpu.kernels import merge  # noqa: F401
+from spmv_tpu.kernels import stream  # noqa: F401

@@ -1,0 +1,635 @@
+"""Stream-SpMV: the flagship general-matrix TPU kernel.
+
+y = A @ x for arbitrary CSR on TPU, built from the only primitives
+that run at streaming speed on this hardware (docs/DESIGN_stream.md):
+lane gathers, (128,128) transposes, plan-driven block DMA. The
+pipeline (all orders precomputed at plan time, cached per matrix):
+
+1. **Gather pass** (Pallas): nnz ordered by column; each (128,128)
+   tile reads one 128-row window of x2d (= x reshaped (cols/128,128)),
+   fetched via a scalar-prefetched block index. Within the tile, slot
+   (s,l) holds a nnz with column ≡ l (mod 128); its x value is
+   obtained with a transposed lane gather xg[s,l] = xwin[q[s,l], l].
+   Hot columns (count ≥ threshold) are replicated into broadcast rows
+   of an augmented x table so heavy columns fill whole tiles instead
+   of a single lane. Emits products (semiring `combine`) in gather
+   order.
+2. **Shuffle** (kernels/shuffle.py): routes products from gather order
+   to row-sorted final tiles (2 split passes).
+3. **Scan pass** (Pallas): per final tile, a piecewise segmented scan
+   by local row id (the shuffle leaves rank-sorted runs separated by
+   junk), semiring `reduce`; chunk-end values are extracted with one
+   in-register 3-stage routing into layered row windows; a carry
+   register chains rows spanning tiles (the decoupled-lookback
+   replacement, ref: merge_based/agent_segment_fixup.cuh); the y
+   window is written directly to its 1024-row bin (no XLA scatter).
+
+Reference analog: the merge-path SpMV (ref: include/spmv/merge_based/*,
+merge_genl/*) — same contract (load-balanced CSR SpMV, semiring
+generalized into every reduction site) with the GPU's fine-grained
+memory system replaced by plan-time routing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spmv_tpu import config
+from spmv_tpu.formats import CSR
+from spmv_tpu.kernels.pallas_utils import (
+    LANES,
+    flat_iota,
+    lane_iota,
+    segmented_scan_tile,
+    sublane_iota,
+)
+from spmv_tpu.kernels.shuffle import (
+    TILE,
+    ShufflePlan,
+    apply_shuffle,
+    plan_shuffle,
+    shuffle_device_arrays,
+)
+from spmv_tpu.ops.registry import register, plan_cache
+from spmv_tpu.ops.routing import route_tiles
+from spmv_tpu.ops.semiring import Semiring, PLUS_TIMES
+
+BIN_ROWS = 1024  # y rows per output bin (one (8,128) block of y2d)
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamPolicy:
+    kappa: int = 12288       # live nnz per final tile (scan EN)
+    hot_threshold: int = 2048  # column count to qualify for replication
+    gather_sbt: int = 8      # gather tiles per grid step
+    max_layers: int = 16     # chunk-end layers per scan tile
+
+
+@dataclasses.dataclass
+class StreamPlan:
+    n_gather_tiles: int
+    n_final_tiles: int
+    layers: int
+    x_rows_pad: int          # rows of padded x2d before augmentation
+    hot_cols: np.ndarray     # (n_aug,) column index replicated per aug row
+    # device arrays
+    gather: dict             # Ax, q, xb
+    shuffle: ShufflePlan
+    shuffle_dev: list
+    scan: dict               # rel, ends s1/s2/s3, valid, scalars, bins
+    touched_bins: jax.Array  # (n_bins,) bool
+    n_bins: int
+
+
+# ---------------------------------------------------------------------------
+# Plan construction
+# ---------------------------------------------------------------------------
+
+def _plan_gather(Aj: np.ndarray, policy: StreamPolicy, x_blocks_pad: int):
+    """Assign each nnz to a gather slot.
+
+    Returns (slot_src, slot_q, xb, hot_cols):
+      slot_src: (T*16384,) int64 CSR rank per slot, -1 junk
+      slot_q:   (T*16384,) int8 window-local x2d row, -1 junk
+      xb:       (T,) int32 x window base per tile, in 128-row BLOCK units
+                (cold: 16K-column window index; hot: an aug page past
+                x_blocks_pad)
+      hot_cols: (n_pages*128,) int64 column replicated into each aug row
+    """
+    nnz = Aj.shape[0]
+    counts = np.bincount(Aj, minlength=0)
+    hot_mask_col = counts >= policy.hot_threshold
+    is_hot = hot_mask_col[Aj]
+    W = 128 * LANES  # columns per x window
+
+    tiles_src, tiles_q, xb_list = [], [], []
+    hot_cols: list = []
+
+    # --- cold nnz: per 16K-column window, balanced lane fill ---
+    cold_idx = np.nonzero(~is_hot)[0]
+    cold_cols = Aj[cold_idx]
+    order = np.argsort(cold_cols, kind="stable")
+    cold_idx = cold_idx[order]
+    cold_cols = cold_cols[order]
+    win = cold_cols // W
+    w_bounds = np.searchsorted(win, np.arange(0, (win[-1] + 2) if win.size else 1))
+    for w in range(w_bounds.shape[0] - 1):
+        b, e = int(w_bounds[w]), int(w_bounds[w + 1])
+        if e <= b:
+            continue
+        idx = cold_idx[b:e]
+        cols = cold_cols[b:e]
+        lanes = cols % LANES
+        qrows = (cols // LANES) - w * LANES  # in [0, 128)
+        lane_cnt = np.bincount(lanes, minlength=LANES)
+        t_w = int(-(-lane_cnt.max() // LANES))
+        # round-robin within each lane across t_w tiles (vectorized):
+        # the i-th entry of lane l goes to tile i%t_w, sublane i//t_w
+        srcs = np.full((t_w, TILE), -1, dtype=np.int64)
+        qs = np.full((t_w, TILE), -1, dtype=np.int8)
+        lane_order = np.argsort(lanes, kind="stable")
+        lsorted = lanes[lane_order]
+        lb = np.searchsorted(lsorted, np.arange(LANES + 1))
+        within = np.arange(lsorted.shape[0]) - lb[lsorted]
+        ti = within % t_w
+        s = within // t_w
+        srcs[ti, s * LANES + lsorted] = idx[lane_order]
+        qs[ti, s * LANES + lsorted] = qrows[lane_order]
+        for t_i in range(t_w):
+            tiles_src.append(srcs[t_i])
+            tiles_q.append(qs[t_i])
+            xb_list.append(w)
+
+    # --- hot nnz: packed tiles over augmented broadcast pages; each
+    # hot tile owns one 128-row aug page (one row per distinct column,
+    # the value broadcast across lanes) ---
+    hot_idx = np.nonzero(is_hot)[0]
+    if hot_idx.size:
+        hcols = Aj[hot_idx]
+        horder = np.argsort(hcols, kind="stable")
+        hot_idx = hot_idx[horder]
+        hcols = hcols[horder]
+        p = 0
+        n = hot_idx.shape[0]
+        while p < n:
+            src = np.full(TILE, -1, dtype=np.int64)
+            qv = np.full(TILE, -1, dtype=np.int8)
+            page = np.zeros(LANES, dtype=np.int64)
+            nrows = 0
+            filled = 0
+            while p < n and filled < TILE and nrows < LANES:
+                c = hcols[p]
+                e = int(np.searchsorted(hcols, c, side="right"))
+                take = min(e - p, TILE - filled)
+                page[nrows] = c
+                src[filled:filled + take] = hot_idx[p:p + take]
+                qv[filled:filled + take] = nrows
+                nrows += 1
+                filled += take
+                p += take
+            tiles_src.append(src)
+            tiles_q.append(qv)
+            xb_list.append(x_blocks_pad + len(hot_cols) // LANES)
+            hot_cols.extend(page.tolist())
+
+    T = len(tiles_src)
+    slot_src = (np.concatenate(tiles_src) if T else
+                np.empty(0, np.int64))
+    slot_q = (np.concatenate(tiles_q) if T else np.empty(0, np.int8))
+    xb = np.asarray(xb_list, dtype=np.int32)
+    assert slot_src[slot_src >= 0].size == nnz
+    return slot_src, slot_q, xb, np.asarray(hot_cols, dtype=np.int64)
+
+
+def _final_tile_walk(Ap: np.ndarray, row_ids: np.ndarray, kappa: int):
+    """Cut the row-sorted nnz stream into final tiles: each takes up to
+    `kappa` nnz and never crosses a 1024-row bin boundary (so its y
+    window is one aligned (8,128) block of y2d). Returns k_starts
+    (F+1,), bin (F,), r_start (F,), lrow (F,)."""
+    nnz = row_ids.shape[0]
+    k_starts = [0]
+    bins, r_starts, lrows = [], [], []
+    k = 0
+    while k < nnz:
+        r0 = int(row_ids[k])
+        b = r0 // BIN_ROWS
+        k_bin = int(np.searchsorted(row_ids, (b + 1) * BIN_ROWS))
+        k_next = min(k + kappa, k_bin)
+        bins.append(b)
+        r_starts.append(r0)
+        lrows.append(int(row_ids[k_next - 1]))
+        k = k_next
+        k_starts.append(k)
+    return (np.asarray(k_starts, np.int64), np.asarray(bins, np.int32),
+            np.asarray(r_starts, np.int32), np.asarray(lrows, np.int32))
+
+
+def _plan_scan(plan_sh: ShufflePlan, k_starts, bins, r_starts, lrows,
+               row_ids, layers_cap: int):
+    """Build per-final-tile scan streams from the simulated shuffle
+    layout.
+
+    The shuffle leaves each tile as rank-sorted runs separated by junk,
+    so per-slot segment ids must be a MONOTONIC chunk id (cid): one id
+    per maximal run of equal row in slot order. Junk slots carry the
+    previous cid + 16384 (the kernel masks rel>=16384 to the identity
+    but lets the segment bridge the gap). Chunk-end values are routed
+    into layered (8,128) row windows (layer = occurrence index of the
+    row among chunk ends).
+    """
+    F = k_starts.shape[0] - 1
+    cid_s = np.zeros((F, TILE), dtype=np.int16)
+    ends_src = np.full((F, LANES, LANES), -1, dtype=np.int32)
+    valid = np.zeros((F, LANES, LANES), dtype=np.int8)
+    last_slot = np.zeros(F, dtype=np.int32)
+    max_layers = 1
+    for f in range(F):
+        a, b = int(k_starts[f]), int(k_starts[f + 1])
+        d = np.arange(a, b) - a + f * TILE
+        slots = plan_sh.slot_of_dst[d]
+        assert (slots >= 0).all()
+        local = slots - f * TILE
+        assert (local >= 0).all() and (local < TILE).all(), \
+            "shuffle placed a rank outside its tile"
+        rows = row_ids[a:b]
+        relv = (rows - bins[f] * BIN_ROWS).astype(np.int64)
+        last_slot[f] = int(local.max()) if local.size else 0
+        so = np.argsort(local)
+        ls, rs = local[so], relv[so]
+        # chunk id: increments whenever the row changes OR the slots
+        # are non-adjacent with an intervening different row... a new
+        # chunk simply starts at every row change in slot order.
+        new_chunk = np.ones(ls.shape[0], dtype=bool)
+        if ls.size > 1:
+            new_chunk[1:] = rs[1:] != rs[:-1]
+        cid = np.cumsum(new_chunk) - 1  # 0-based, monotonic in slot order
+        # per-slot stream: live slots get cid; junk slots get
+        # previous-live cid + 16384 (leading junk: first cid + 16384)
+        full = np.zeros(TILE, dtype=np.int64)
+        live_mask = np.zeros(TILE, dtype=bool)
+        full[ls] = cid
+        live_mask[ls] = True
+        # fill-forward cids over junk
+        idx = np.where(live_mask, np.arange(TILE), -1)
+        np.maximum.accumulate(idx, out=idx)
+        filled = np.where(idx >= 0, full[np.clip(idx, 0, None)],
+                          cid[0] if cid.size else 0)
+        cid_s[f] = np.where(live_mask, filled, filled + 16384).astype(np.int16)
+        # ends: last slot of each chunk
+        is_end = np.ones(ls.shape[0], dtype=bool)
+        if ls.size > 1:
+            is_end[:-1] = cid[:-1] != cid[1:]
+        epos, erel = ls[is_end], rs[is_end]
+        # layer = occurrence index of the row among its chunk ends
+        # (ends of one row are scattered; stable-sort groupby-cumcount)
+        layer = np.zeros(epos.shape[0], dtype=np.int64)
+        if erel.size:
+            eorder = np.argsort(erel, kind="stable")
+            se = erel[eorder]
+            grp_start = np.searchsorted(se, se)
+            layer[eorder] = np.arange(se.size) - grp_start
+        if layer.size and int(layer.max()) + 1 > layers_cap:
+            raise ValueError(
+                f"scan tile {f} needs {int(layer.max())+1} chunk layers "
+                f"(> cap {layers_cap})")
+        max_layers = max(max_layers, int(layer.max()) + 1 if layer.size else 1)
+        out_slot = layer * LANES * 8 + erel
+        ends_src[f].reshape(-1)[out_slot] = epos
+        valid[f].reshape(-1)[out_slot] = 1
+    s1, s2, s3 = route_tiles(ends_src)
+    return {
+        "cid": cid_s, "s1": s1, "s2": s2, "s3": s3, "valid": valid,
+        "last_slot": last_slot, "max_layers": max_layers,
+    }
+
+
+def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
+    Ap = np.asarray(A.Ap, dtype=np.int64)
+    Aj = np.asarray(A.Aj, dtype=np.int64)
+    Ax = np.asarray(A.Ax)
+    nnz = int(Ap[-1])
+    row_ids = np.repeat(np.arange(A.n_rows, dtype=np.int64),
+                        Ap[1:] - Ap[:-1])
+    # x2d is padded to whole 16K-column windows (128-row blocks)
+    x_blocks_pad = -(-A.n_cols // (LANES * LANES))
+    x_rows_pad = x_blocks_pad * LANES
+
+    slot_src, slot_q, xb, hot_cols = _plan_gather(Aj, policy, x_blocks_pad)
+    n_gather_tiles = xb.shape[0]
+
+    # pad gather tiles to the shuffle geometry (128 or 256 tiles)
+    for cap in (128, 256):
+        if n_gather_tiles <= cap:
+            pad_tiles = cap
+            break
+    else:
+        raise ValueError(
+            f"matrix too large for the 2-pass shuffle: {n_gather_tiles} "
+            f"gather tiles > 256 (~3.7M nnz cap); use kind 'merge'/'xla'")
+    padn = pad_tiles - n_gather_tiles
+    if padn:
+        slot_src = np.concatenate(
+            [slot_src, np.full(padn * TILE, -1, np.int64)])
+        slot_q = np.concatenate([slot_q, np.full(padn * TILE, -1, np.int8)])
+        xb = np.concatenate([xb, np.zeros(padn, np.int32)])
+
+    # Final-tile capacity, region geometry and pass-1 quota are chosen
+    # together: smaller matrices need emptier final tiles (smaller
+    # kappa) so pass-2 quota windows can hold each (mid tile, final
+    # tile) share. A cheap exact count check prunes infeasible
+    # combinations before the expensive full plan (which still
+    # validates pass 2 exactly and raises on overflow).
+    slot_tile = np.arange(slot_src.shape[0]) // TILE
+    rank_of_slot = slot_src  # CSR order IS row-sorted rank order
+    live = rank_of_slot >= 0
+
+    last_err: Optional[Exception] = None
+    plan_sh = None
+    walk = None
+    for kappa in (policy.kappa, 8192, 6144, 4096, 3072, 2048, 1024):
+        if kappa > policy.kappa:
+            continue
+        k_starts, bins, r_starts, lrows = _final_tile_walk(
+            Ap, row_ids, kappa)
+        F = k_starts.shape[0] - 1
+        if F == 0:
+            raise ValueError("empty matrix; handled by caller")
+        ftile_of_rank = np.searchsorted(k_starts, np.arange(nnz),
+                                        side="right") - 1
+        dst_of_rank = (ftile_of_rank * TILE
+                       + (np.arange(nnz) - k_starts[ftile_of_rank]))
+        dst_pos = np.full(slot_src.shape[0], -1, dtype=np.int64)
+        dst_pos[live] = dst_of_rank[rank_of_slot[live]]
+        dst_tile = np.where(dst_pos >= 0, dst_pos // TILE, 0)
+
+        def _pass1_fits(g_size: int, q1: int) -> bool:
+            G = -(-F // g_size)
+            grp = (dst_tile[live] // g_size).astype(np.int64)
+            key = slot_tile[live] * G + grp
+            cnt = np.bincount(key, minlength=pad_tiles * G)
+            return int(cnt.max()) <= q1 * LANES - (LANES - 1)
+
+        # region_tiles = windows per final tile = max chunk layers a row
+        # can need in the scan; the routed end-window holds 8*16 = 128
+        # rows, so region_tiles must stay <= max_layers.
+        for q1 in (8, 16):
+            region_tiles = (pad_tiles * q1) // LANES
+            if region_tiles > policy.max_layers:
+                continue
+            if LANES % region_tiles and region_tiles > LANES:
+                continue
+            hi = min(F, 4 * region_tiles)
+            for g_size in range(hi, 0, -1):
+                G = -(-F // g_size)
+                if G > 32:
+                    break
+                if not _pass1_fits(g_size, q1):
+                    continue
+                try:
+                    plan_sh = plan_shuffle(dst_pos, F, G, sbt=8, q1=q1)
+                    break
+                except ValueError as e:
+                    last_err = e
+            if plan_sh is not None:
+                break
+        if plan_sh is not None:
+            walk = (k_starts, bins, r_starts, lrows)
+            break
+    if plan_sh is None:
+        raise ValueError(f"shuffle planning failed: {last_err}")
+    k_starts, bins, r_starts, lrows = walk
+    F = k_starts.shape[0] - 1
+
+    scan = _plan_scan(plan_sh, k_starts, bins, r_starts, lrows, row_ids,
+                      policy.max_layers)
+    layers = int(scan["max_layers"])
+
+    n_bins = -(-A.n_rows // BIN_ROWS)
+    touched = np.zeros(n_bins, dtype=bool)
+    touched[bins] = True
+    first_touch = np.ones(F, dtype=np.int32)
+    seen: set = set()
+    for f in range(F):
+        if int(bins[f]) in seen:
+            first_touch[f] = 0
+        seen.add(int(bins[f]))
+
+    Ax_slots = np.where(slot_src >= 0, Ax[np.clip(slot_src, 0, nnz - 1)], 0)
+
+    gather_dev = {
+        "Ax": jnp.asarray(Ax_slots.astype(Ax.dtype).reshape(-1, LANES)),
+        "q": jnp.asarray(slot_q.reshape(-1, LANES)),
+        "xb": jnp.asarray(xb),
+    }
+    scan_dev = {
+        "cid": jnp.asarray(scan["cid"].reshape(-1, LANES)),
+        "s1": jnp.asarray(scan["s1"].reshape(-1, LANES)),
+        "s2": jnp.asarray(scan["s2"].reshape(-1, LANES)),
+        "s3": jnp.asarray(scan["s3"].reshape(-1, LANES)),
+        "valid": jnp.asarray(scan["valid"].reshape(-1, LANES)),
+        "bins": jnp.asarray(bins),
+        "r_start": jnp.asarray(r_starts),
+        "lrow": jnp.asarray(lrows),
+        "last_slot": jnp.asarray(scan["last_slot"]),
+        "first_touch": jnp.asarray(first_touch),
+    }
+    return StreamPlan(
+        n_gather_tiles=pad_tiles, n_final_tiles=F, layers=layers,
+        x_rows_pad=x_rows_pad,
+        hot_cols=jnp.asarray(hot_cols.astype(np.int32))
+        if hot_cols.size else np.empty(0, np.int32),
+        gather=gather_dev, shuffle=plan_sh,
+        shuffle_dev=shuffle_device_arrays(plan_sh),
+        scan=scan_dev, touched_bins=jnp.asarray(touched), n_bins=n_bins)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _gather_kernel(sbt: int, sr: Semiring, identity: float):
+    def kernel(xb_ref, ax_ref, q_ref, *rest):
+        xwins, out_ref = rest[:-1], rest[-1]
+        for j in range(sbt):
+            q = q_ref[j * LANES:(j + 1) * LANES, :].astype(jnp.int32)
+            ax = ax_ref[j * LANES:(j + 1) * LANES, :]
+            qc = jnp.where(q >= 0, q, 0)
+            # xg[s,l] = xwin[q[s,l], l] via transposed lane gather
+            xg = jnp.take_along_axis(xwins[j][...].T, qc.T, axis=1).T
+            prod = sr.combine(ax, xg)
+            out_ref[j * LANES:(j + 1) * LANES, :] = jnp.where(
+                q >= 0, prod, identity)
+
+    return kernel
+
+
+def _scan_kernel(sr: Semiring, identity: float, layers: int):
+    P = 8  # y window rows per bin: (8,128) = 1024 y values
+
+    def kernel(bins_ref, r_start_ref, lrow_ref, last_ref, first_ref,
+               prod_ref, cid_ref, s1_ref, s2_ref, s3_ref, valid_ref,
+               y_ref, carry_row_ref, carry_val_ref):
+        f = pl.program_id(0)
+
+        @pl.when(f == 0)
+        def _init():
+            carry_row_ref[0] = -1
+            carry_val_ref[0] = identity
+
+        cid = cid_ref[...].astype(jnp.int32)
+        live = cid < 16384      # junk slots carry cid+16384
+        seg = cid & 16383       # monotonic chunk id; junk bridges gaps
+        prod = jnp.where(live, prod_ref[...],
+                         jnp.full_like(prod_ref[...], identity))
+        scan = segmented_scan_tile(prod, seg, sr.reduce, identity)
+
+        # chunk-end extraction: 3-stage routed gather into layered
+        # (8,128) row windows
+        a = jnp.take_along_axis(scan, s1_ref[...].astype(jnp.int32), axis=1)
+        a = a.T
+        a = jnp.take_along_axis(a, s2_ref[...].astype(jnp.int32), axis=1)
+        a = a.T
+        ends = jnp.take_along_axis(a, s3_ref[...].astype(jnp.int32), axis=1)
+        vm = valid_ref[...].astype(jnp.int32) > 0  # i8 cmp unsupported
+        ends = jnp.where(vm, ends, identity)
+
+        y_cand = jnp.full((P, LANES), identity, dtype=ends.dtype)
+        has = jnp.zeros((P, LANES), dtype=jnp.int32)
+        for l in range(layers):
+            y_cand = sr.reduce(y_cand, ends[l * P:(l + 1) * P, :])
+            has = has | vm[l * P:(l + 1) * P, :].astype(jnp.int32)
+
+        # fold the running carry into this tile's first row
+        r0 = r_start_ref[f]
+        fold = carry_row_ref[0] == r0
+        r0rel = r0 - bins_ref[f] * BIN_ROWS
+        slot0 = flat_iota((P, LANES)) == r0rel
+        y_cand = jnp.where(
+            jnp.logical_and(fold, slot0),
+            sr.reduce(y_cand, jnp.full_like(y_cand, carry_val_ref[0])),
+            y_cand)
+
+        # carry out: the last row's window slot holds its in-tile total
+        lr = lrow_ref[f]
+        lrel = lr - bins_ref[f] * BIN_ROWS
+        lmask = flat_iota((P, LANES)) == lrel
+        carry_val_ref[0] = sr.reduce_array(
+            jnp.where(lmask, y_cand, identity))
+        carry_row_ref[0] = lr
+
+        # write/merge the bin window
+        ident_win = jnp.full((P, LANES), identity, dtype=y_cand.dtype)
+        prev = jnp.where(first_ref[f] == 1, ident_win, y_ref[...])
+        y_ref[...] = jnp.where(has > 0, y_cand, prev)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Device dispatch
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "sr_name", "sbt", "n_tiles", "interpret"))
+def _gather_pass(x2d, ax, q, xb, *, sr_name, sbt, n_tiles, interpret):
+    from spmv_tpu.ops.semiring import BUILTIN_SEMIRINGS
+
+    sr = BUILTIN_SEMIRINGS[sr_name]
+    identity = float(sr.identity_for(ax.dtype))
+    n_steps = n_tiles // sbt
+
+    def xwin_map(j):
+        return lambda t, xb: (xb[t * sbt + j], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=(
+            [pl.BlockSpec((sbt * LANES, LANES), lambda t, xb: (t, 0))] * 2
+            + [pl.BlockSpec((LANES, LANES), xwin_map(j)) for j in range(sbt)]
+        ),
+        out_specs=pl.BlockSpec((sbt * LANES, LANES), lambda t, xb: (t, 0)),
+    )
+    return pl.pallas_call(
+        _gather_kernel(sbt, sr, identity),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * LANES, LANES), ax.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xb, ax, q, *([x2d] * sbt))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sr_name", "layers", "F", "n_bins", "interpret"))
+def _scan_pass(prod_fin, rel, s1, s2, s3, valid, bins, r_start, lrow,
+               last_slot, first_touch, *, sr_name, layers, F, n_bins,
+               interpret):
+    from spmv_tpu.ops.semiring import BUILTIN_SEMIRINGS
+
+    sr = BUILTIN_SEMIRINGS[sr_name]
+    identity = float(sr.identity_for(prod_fin.dtype))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(F,),
+        in_specs=[pl.BlockSpec((LANES, LANES), lambda f, *_: (f, 0))] * 6,
+        out_specs=pl.BlockSpec((8, LANES), lambda f, b, *_: (b[f], 0)),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((1,), prod_fin.dtype)],
+    )
+    return pl.pallas_call(
+        _scan_kernel(sr, identity, layers),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_bins * 8, LANES), prod_fin.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(bins, r_start, lrow, last_slot, first_touch,
+      prod_fin, rel, s1, s2, s3, valid)
+
+
+def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
+    if semiring.name not in ("plus_times", "min_plus", "max_times", "or_and"):
+        raise ValueError(
+            f"stream supports the built-in semirings; got {semiring.name!r}")
+    x = jnp.asarray(x)
+    val_dtype = jnp.result_type(np.asarray(A.Ax)[:0], x.dtype)
+    if val_dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        val_dtype = jnp.float32
+    ident = float(semiring.identity_for(np.dtype(val_dtype)))
+    if A.nnz == 0 or A.n_cols == 0:
+        return jnp.full((A.n_rows,), ident, dtype=val_dtype)
+
+    plan: StreamPlan = plan_cache(
+        A, ("stream", policy), lambda: build_stream_plan(A, policy))
+    interp = config.use_interpret()
+
+    # --- x table: padded x2d + hot-column broadcast pages ---
+    xp = jnp.pad(x.astype(val_dtype), (0, plan.x_rows_pad * LANES - A.n_cols))
+    x2d = xp.reshape(-1, LANES)
+    n_aug = int(np.asarray(plan.hot_cols).shape[0])
+    if n_aug:
+        aug = jnp.broadcast_to(
+            jnp.take(x.astype(val_dtype), jnp.asarray(plan.hot_cols))[:, None],
+            (n_aug, LANES))
+        x2d = jnp.concatenate([x2d, aug], axis=0)
+
+    prod = _gather_pass(
+        x2d, plan.gather["Ax"].astype(val_dtype), plan.gather["q"],
+        plan.gather["xb"], sr_name=semiring.name, sbt=8,
+        n_tiles=plan.n_gather_tiles, interpret=interp)
+
+    prod_fin = apply_shuffle(prod, plan.shuffle, plan.shuffle_dev)
+    prod_fin = prod_fin[: plan.n_final_tiles * LANES]
+
+    y2d = _scan_pass(
+        prod_fin, plan.scan["cid"], plan.scan["s1"], plan.scan["s2"],
+        plan.scan["s3"], plan.scan["valid"], plan.scan["bins"],
+        plan.scan["r_start"], plan.scan["lrow"], plan.scan["last_slot"],
+        plan.scan["first_touch"], sr_name=semiring.name,
+        layers=plan.layers, F=plan.n_final_tiles, n_bins=plan.n_bins,
+        interpret=interp)
+
+    y3 = y2d.reshape(plan.n_bins, 8 * LANES)
+    y3 = jnp.where(plan.touched_bins[:, None], y3, ident)
+    return y3.reshape(-1)[: A.n_rows]
+
+
+DEFAULT_POLICY = StreamPolicy()
+
+
+@register("stream", supports_semiring=True,
+          reference_analog="merge_based/* rebuilt via plan-time routing "
+                           "(see docs/DESIGN_stream.md)")
+def _stream(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
+    """Stream-SpMV: gather pass + planned shuffle + segmented scan."""
+    return _stream_spmv(A, x, semiring, DEFAULT_POLICY)

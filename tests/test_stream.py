@@ -1,0 +1,65 @@
+"""Tests for the stream-SpMV flagship kernel (kernels/stream.py)."""
+
+import numpy as np
+import pytest
+
+from spmv_tpu import MIN_PLUS, spmv, spmv_ref, spmv_ref_semiring
+from spmv_tpu.io.generate import banded_csr, power_law_csr, random_csr
+
+
+def _check(A, seed=0, rtol=2e-4, atol=1e-5):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(A.n_cols).astype(np.float32)
+    y = np.asarray(spmv("stream", A, x))
+    y_ref = spmv_ref(A, x, y_dtype=np.float64)
+    np.testing.assert_allclose(y, y_ref, rtol=rtol, atol=atol)
+
+
+def test_stream_random():
+    _check(random_csr(20000, 30000, 150000, seed=1))
+
+
+def test_stream_power_law_rows():
+    _check(power_law_csr(16384, 20000, 120000, alpha=1.5, seed=2))
+
+
+def test_stream_banded():
+    _check(banded_csr(30000, bandwidth=3, seed=3))
+
+
+def test_stream_hot_columns():
+    # concentrate half the nnz on a handful of columns (hot replication)
+    rng = np.random.default_rng(4)
+    n, nnz = 20000, 120000
+    rows = rng.integers(0, n, nnz).astype(np.int64)
+    cols = np.where(rng.random(nnz) < 0.5,
+                    rng.integers(0, 5, nnz),
+                    rng.integers(0, n, nnz)).astype(np.int64)
+    vals = rng.standard_normal(nnz)
+    from spmv_tpu.formats import COO, coo_to_csr
+
+    A = coo_to_csr(COO(n, n, rows.astype(np.int32), cols.astype(np.int32),
+                       vals.astype(np.float32)))
+    _check(A)
+
+
+def test_stream_semiring_min_plus():
+    A = random_csr(8192, 8192, 60000, seed=5)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(A.n_cols).astype(np.float32)
+    y = np.asarray(spmv("stream", A, x, semiring=MIN_PLUS))
+    y_ref = spmv_ref_semiring(A, x, MIN_PLUS)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_stream_empty_rows_and_tail():
+    # rows beyond the last nnz and 1024-row gaps must come out as 0
+    rng = np.random.default_rng(6)
+    n = 50000
+    rows = rng.integers(0, 20000, 80000).astype(np.int64)  # top rows empty
+    cols = rng.integers(0, n, 80000).astype(np.int64)
+    from spmv_tpu.formats import COO, coo_to_csr
+
+    A = coo_to_csr(COO(n, n, rows.astype(np.int32), cols.astype(np.int32),
+                       rng.standard_normal(80000).astype(np.float32)))
+    _check(A)
