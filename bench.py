@@ -18,13 +18,14 @@ def main():
     from spmv_tpu.utils.roofline import speed_of_light
     from spmv_tpu.utils.timing import benchmark_spmv
 
-    n_rows = 1 << 21
-    nnz = 1 << 24  # 16.8M nnz, mean 8/row, power-law skew
+    n_rows = 1 << 20
+    nnz = 3_300_000  # mean ~3.1/row, power-law row skew (stream-kernel cap
+    # for the 2-pass shuffle is ~3.5M nnz; 3-pass reach is future work)
     A = power_law_csr(n_rows, n_rows, nnz, alpha=1.5, seed=42)
     x = np.random.default_rng(0).standard_normal(n_rows).astype(np.float32)
 
     best = None
-    for kind in ("merge", "xla"):
+    for kind in ("stream", "merge", "xla"):
         try:
             r = benchmark_spmv(kind, A, x, iters=30, check=True)
         except Exception as e:
