@@ -80,7 +80,14 @@ def _device_loop(fn: Callable, x0: jax.Array, iters: int):
 
 
 def benchmark_fn(fn: Callable, x0, iters: int = 50, warmup: bool = True):
-    """Time `fn(x)` with device-chained iterations. Returns (total_s, kernel_s)."""
+    """Time `fn(x)` with device-chained iterations. Returns (total_s, kernel_s).
+
+    The dispatch+fetch round trip through a tunneled runtime has a
+    large fixed cost (~tens of ms) that would otherwise be amortized
+    into the per-iteration number, so kernel time is measured as the
+    SLOPE between a short and a long chained run:
+    (T(iters) - T(iters/4)) / (iters - iters/4).
+    """
     x0 = jnp.asarray(x0)
 
     # total: one full dispatch, host-observed, forced by host fetch.
@@ -91,15 +98,27 @@ def benchmark_fn(fn: Callable, x0, iters: int = 50, warmup: bool = True):
     _ = np.asarray(jax.tree_util.tree_leaves(y)[0])
     total_s = time.perf_counter() - t0
 
-    run = _device_loop(fn, x0, iters)
+    lo = max(1, iters // 4)
+    run_lo = _device_loop(fn, x0, lo)
+    run_hi = _device_loop(fn, x0, iters)
     if warmup:
-        float(run(x0))
-    t0 = time.perf_counter()
-    s = float(run(x0))
-    elapsed = time.perf_counter() - t0
-    if not np.isfinite(s):
-        raise RuntimeError("benchmark checksum is not finite")
-    kernel_s = elapsed / iters
+        float(run_lo(x0))
+        float(run_hi(x0))
+
+    def _best(run, reps=2):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            s = float(run(x0))
+            el = time.perf_counter() - t0
+            if not np.isfinite(s):
+                raise RuntimeError("benchmark checksum is not finite")
+            best = min(best, el)
+        return best
+
+    t_lo = _best(run_lo)
+    t_hi = _best(run_hi)
+    kernel_s = max((t_hi - t_lo) / (iters - lo), 1e-9)
     return total_s, kernel_s
 
 
