@@ -136,9 +136,11 @@ def plan_shuffle(dst_pos: np.ndarray, n_final_tiles: int, n_regions: int,
     elements; the within-tile slot arrangement is reported in
     `slot_of_dst` (consumers finish with one tile-perm).
 
-    n_regions: pass-1 group count G (final tiles are grouped
-    ceil(F/G) per region). Raises ValueError on quota overflow —
-    callers retry with more regions / different geometry.
+    n_regions: pass-1 group count G. Final tiles are assigned to
+    regions ROUND-ROBIN (f % G), so runs of consecutive destination
+    tiles (e.g. one heavy row's tiles) spread across regions instead of
+    concentrating one region's quota windows. Raises ValueError on
+    quota overflow — callers retry with more regions / other geometry.
     """
     slots = dst_pos.shape[0]
     if slots % (sbt * TILE) != 0:
@@ -163,7 +165,7 @@ def plan_shuffle(dst_pos: np.ndarray, n_final_tiles: int, n_regions: int,
     if dst_pos.size and dst_pos.max() >= F * TILE:
         raise ValueError("dst_pos out of range")
     dst_tile = np.where(dst_pos >= 0, dst_pos // TILE, -1)
-    grp1 = np.where(dst_tile >= 0, dst_tile // g_size, 0)
+    grp1 = np.where(dst_tile >= 0, dst_tile % G, 0)  # round-robin
 
     # pass 1 consumer order: regions concatenated over g
     region_elems = n_steps1 * sbt * q1 * LANES
@@ -174,12 +176,15 @@ def plan_shuffle(dst_pos: np.ndarray, n_final_tiles: int, n_regions: int,
 
     p1, mid = _plan_split(dst_pos, grp1, G, sbt, q1, "concat", base1)
 
-    grp2 = np.where(mid >= 0, (mid // TILE) % g_size, 0)
+    # pass 2: region g holds final tiles {f : f % G == g}; local slot
+    # k corresponds to f = k*G + region, so stitching is a plain
+    # (K, G, ...) reshape — f-major without any transpose.
+    grp2 = np.where(mid >= 0, (mid // TILE) // G, 0)
     blk2 = sbt * q2 * LANES
 
     def base2(step, k, j):
         region, s = divmod(step, spr)
-        f = region * g_size + k
+        f = k * G + region
         return f * TILE + s * blk2 + j * q2 * LANES
 
     p2, fin = _plan_split(mid, grp2, g_size, sbt, q2, (G, spr), base2)
@@ -252,13 +257,9 @@ def shuffle_device_arrays(plan: ShufflePlan) -> list:
 def _stitch(outs, p: SplitPass):
     if p.stitch == "concat":
         return jnp.concatenate(outs, axis=0)
-    G, spr = p.stitch
-    blk_rows = p.sbt * p.Q
-    K = p.K
-    # array k holds, per region, spr blocks of final tile region*K + k
-    stack = jnp.stack(outs)  # (K, n_steps*blk_rows, 128)
-    stack = stack.reshape(K, G, spr * blk_rows, LANES)
-    return stack.transpose(1, 0, 2, 3).reshape(-1, LANES)
+    # round-robin regions: array k holds final tiles f = k*G + region,
+    # so concatenating the K arrays IS f-major order.
+    return jnp.concatenate(outs, axis=0)
 
 
 def apply_shuffle(data: jax.Array, plan: ShufflePlan, dev: list):

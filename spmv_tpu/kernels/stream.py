@@ -62,7 +62,7 @@ from spmv_tpu.ops.registry import register, plan_cache
 from spmv_tpu.ops.routing import route_tiles
 from spmv_tpu.ops.semiring import Semiring, PLUS_TIMES
 
-BIN_ROWS = 1024  # y rows per output bin (one (8,128) block of y2d)
+BIN_ROWS = 8192  # y rows per output bin (one (64,128) block of y2d)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,7 +70,6 @@ class StreamPolicy:
     kappa: int = 12288       # live nnz per final tile (scan EN)
     hot_threshold: int = 2048  # column count to qualify for replication
     gather_sbt: int = 8      # gather tiles per grid step
-    max_layers: int = 16     # chunk-end layers per scan tile
 
 
 @dataclasses.dataclass
@@ -191,9 +190,9 @@ def _plan_gather(Aj: np.ndarray, policy: StreamPolicy, x_blocks_pad: int):
 
 def _final_tile_walk(Ap: np.ndarray, row_ids: np.ndarray, kappa: int):
     """Cut the row-sorted nnz stream into final tiles: each takes up to
-    `kappa` nnz and never crosses a 1024-row bin boundary (so its y
-    window is one aligned (8,128) block of y2d). Returns k_starts
-    (F+1,), bin (F,), r_start (F,), lrow (F,)."""
+    `kappa` nnz and never crosses a BIN_ROWS-row bin boundary (so its y
+    window is one aligned (BIN_ROWS/128,128) block of y2d). Returns
+    k_starts (F+1,), bin (F,), r_start (F,), lrow (F,)."""
     nnz = row_ids.shape[0]
     k_starts = [0]
     bins, r_starts, lrows = [], [], []
@@ -213,24 +212,29 @@ def _final_tile_walk(Ap: np.ndarray, row_ids: np.ndarray, kappa: int):
 
 
 def _plan_scan(plan_sh: ShufflePlan, k_starts, bins, r_starts, lrows,
-               row_ids, layers_cap: int):
+               row_ids):
     """Build per-final-tile scan streams from the simulated shuffle
     layout.
 
     The shuffle leaves each tile as rank-sorted runs separated by junk,
     so per-slot segment ids must be a MONOTONIC chunk id (cid): one id
-    per maximal run of equal row in slot order. Junk slots carry the
-    previous cid + 16384 (the kernel masks rel>=16384 to the identity
-    but lets the segment bridge the gap). Chunk-end values are routed
-    into layered (8,128) row windows (layer = occurrence index of the
-    row among chunk ends).
+    per maximal run of equal row in slot order; junk slots carry the
+    previous cid + 16384 (the kernel masks them to the identity but the
+    segment bridges the gap). Two in-register routings finish the job:
+
+    1. route1 gathers the chunk-end scan values into a REL-SORTED
+       compact prefix; a second segmented scan (by rel, stream rel2)
+       merges same-row chunks.
+    2. route2 gathers each row's final total (at its last chunk
+       position) into the rel-addressed (BIN_ROWS/128, 128) y window.
     """
     F = k_starts.shape[0] - 1
+    P = BIN_ROWS // LANES
     cid_s = np.zeros((F, TILE), dtype=np.int16)
-    ends_src = np.full((F, LANES, LANES), -1, dtype=np.int32)
-    valid = np.zeros((F, LANES, LANES), dtype=np.int8)
-    last_slot = np.zeros(F, dtype=np.int32)
-    max_layers = 1
+    rel2_s = np.zeros((F, TILE), dtype=np.int16)
+    src1 = np.full((F, LANES, LANES), -1, dtype=np.int32)
+    src2 = np.full((F, LANES, LANES), -1, dtype=np.int32)
+    valid2 = np.zeros((F, P, LANES), dtype=np.int8)
     for f in range(F):
         a, b = int(k_starts[f]), int(k_starts[f + 1])
         d = np.arange(a, b) - a + f * TILE
@@ -241,53 +245,53 @@ def _plan_scan(plan_sh: ShufflePlan, k_starts, bins, r_starts, lrows,
             "shuffle placed a rank outside its tile"
         rows = row_ids[a:b]
         relv = (rows - bins[f] * BIN_ROWS).astype(np.int64)
-        last_slot[f] = int(local.max()) if local.size else 0
         so = np.argsort(local)
         ls, rs = local[so], relv[so]
-        # chunk id: increments whenever the row changes OR the slots
-        # are non-adjacent with an intervening different row... a new
-        # chunk simply starts at every row change in slot order.
+        # chunk ids: a new chunk at every row change in slot order
         new_chunk = np.ones(ls.shape[0], dtype=bool)
         if ls.size > 1:
             new_chunk[1:] = rs[1:] != rs[:-1]
-        cid = np.cumsum(new_chunk) - 1  # 0-based, monotonic in slot order
-        # per-slot stream: live slots get cid; junk slots get
-        # previous-live cid + 16384 (leading junk: first cid + 16384)
-        full = np.zeros(TILE, dtype=np.int64)
-        live_mask = np.zeros(TILE, dtype=bool)
-        full[ls] = cid
-        live_mask[ls] = True
-        # fill-forward cids over junk
-        idx = np.where(live_mask, np.arange(TILE), -1)
-        np.maximum.accumulate(idx, out=idx)
-        filled = np.where(idx >= 0, full[np.clip(idx, 0, None)],
-                          cid[0] if cid.size else 0)
-        cid_s[f] = np.where(live_mask, filled, filled + 16384).astype(np.int16)
-        # ends: last slot of each chunk
+        cid = np.cumsum(new_chunk) - 1
+
+        def _fill_stream(vals, positions, out):
+            """positions -> vals; junk slots: fill-forward + 16384."""
+            full = np.zeros(TILE, dtype=np.int64)
+            lm = np.zeros(TILE, dtype=bool)
+            full[positions] = vals
+            lm[positions] = True
+            idx = np.where(lm, np.arange(TILE), -1)
+            np.maximum.accumulate(idx, out=idx)
+            filled = np.where(idx >= 0, full[np.clip(idx, 0, None)],
+                              vals[0] if vals.size else 0)
+            out[:] = np.where(lm, filled, filled + 16384).astype(np.int16)
+
+        _fill_stream(cid, ls, cid_s[f])
+        # chunk ends (last slot of each cid)
         is_end = np.ones(ls.shape[0], dtype=bool)
         if ls.size > 1:
             is_end[:-1] = cid[:-1] != cid[1:]
         epos, erel = ls[is_end], rs[is_end]
-        # layer = occurrence index of the row among its chunk ends
-        # (ends of one row are scattered; stable-sort groupby-cumcount)
-        layer = np.zeros(epos.shape[0], dtype=np.int64)
-        if erel.size:
-            eorder = np.argsort(erel, kind="stable")
-            se = erel[eorder]
-            grp_start = np.searchsorted(se, se)
-            layer[eorder] = np.arange(se.size) - grp_start
-        if layer.size and int(layer.max()) + 1 > layers_cap:
-            raise ValueError(
-                f"scan tile {f} needs {int(layer.max())+1} chunk layers "
-                f"(> cap {layers_cap})")
-        max_layers = max(max_layers, int(layer.max()) + 1 if layer.size else 1)
-        out_slot = layer * LANES * 8 + erel
-        ends_src[f].reshape(-1)[out_slot] = epos
-        valid[f].reshape(-1)[out_slot] = 1
-    s1, s2, s3 = route_tiles(ends_src)
+        # route1: compact rel-sorted prefix
+        eorder = np.argsort(erel, kind="stable")
+        E = epos.shape[0]
+        src1[f].reshape(-1)[:E] = epos[eorder]
+        se = erel[eorder]
+        _fill_stream(se, np.arange(E), rel2_s[f])
+        # route2: per-rel final position = last of each rel run
+        if E:
+            run_end = np.ones(E, dtype=bool)
+            run_end[:-1] = se[:-1] != se[1:]
+            rels = se[run_end]
+            pos = np.nonzero(run_end)[0]
+            src2[f].reshape(-1)[rels] = pos
+            valid2[f].reshape(-1)[rels] = 1
+    r1 = route_tiles(src1)
+    r2 = route_tiles(src2)
     return {
-        "cid": cid_s, "s1": s1, "s2": s2, "s3": s3, "valid": valid,
-        "last_slot": last_slot, "max_layers": max_layers,
+        "cid": cid_s, "rel2": rel2_s,
+        "r1s1": r1[0], "r1s2": r1[1], "r1s3": r1[2],
+        "r2s1": r2[0], "r2s2": r2[1], "r2s3": r2[2],
+        "valid2": valid2,
     }
 
 
@@ -334,7 +338,8 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     last_err: Optional[Exception] = None
     plan_sh = None
     walk = None
-    for kappa in (policy.kappa, 8192, 6144, 4096, 3072, 2048, 1024):
+    for kappa in (policy.kappa, 8192, 6144, 4096, 3072, 2048, 1024, 512,
+                  256):
         if kappa > policy.kappa:
             continue
         k_starts, bins, r_starts, lrows = _final_tile_walk(
@@ -357,13 +362,8 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
             cnt = np.bincount(key, minlength=pad_tiles * G)
             return int(cnt.max()) <= q1 * LANES - (LANES - 1)
 
-        # region_tiles = windows per final tile = max chunk layers a row
-        # can need in the scan; the routed end-window holds 8*16 = 128
-        # rows, so region_tiles must stay <= max_layers.
         for q1 in (8, 16):
             region_tiles = (pad_tiles * q1) // LANES
-            if region_tiles > policy.max_layers:
-                continue
             if LANES % region_tiles and region_tiles > LANES:
                 continue
             hi = min(F, 4 * region_tiles)
@@ -388,9 +388,7 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     k_starts, bins, r_starts, lrows = walk
     F = k_starts.shape[0] - 1
 
-    scan = _plan_scan(plan_sh, k_starts, bins, r_starts, lrows, row_ids,
-                      policy.max_layers)
-    layers = int(scan["max_layers"])
+    scan = _plan_scan(plan_sh, k_starts, bins, r_starts, lrows, row_ids)
 
     n_bins = -(-A.n_rows // BIN_ROWS)
     touched = np.zeros(n_bins, dtype=bool)
@@ -410,19 +408,18 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         "xb": jnp.asarray(xb),
     }
     scan_dev = {
-        "cid": jnp.asarray(scan["cid"].reshape(-1, LANES)),
-        "s1": jnp.asarray(scan["s1"].reshape(-1, LANES)),
-        "s2": jnp.asarray(scan["s2"].reshape(-1, LANES)),
-        "s3": jnp.asarray(scan["s3"].reshape(-1, LANES)),
-        "valid": jnp.asarray(scan["valid"].reshape(-1, LANES)),
+        k: jnp.asarray(scan[k].reshape(-1, LANES))
+        for k in ("cid", "rel2", "r1s1", "r1s2", "r1s3",
+                  "r2s1", "r2s2", "r2s3", "valid2")
+    }
+    scan_dev.update({
         "bins": jnp.asarray(bins),
         "r_start": jnp.asarray(r_starts),
         "lrow": jnp.asarray(lrows),
-        "last_slot": jnp.asarray(scan["last_slot"]),
         "first_touch": jnp.asarray(first_touch),
-    }
+    })
     return StreamPlan(
-        n_gather_tiles=pad_tiles, n_final_tiles=F, layers=layers,
+        n_gather_tiles=pad_tiles, n_final_tiles=F, layers=1,
         x_rows_pad=x_rows_pad,
         hot_cols=jnp.asarray(hot_cols.astype(np.int32))
         if hot_cols.size else np.empty(0, np.int32),
@@ -451,64 +448,50 @@ def _gather_kernel(sbt: int, sr: Semiring, identity: float):
     return kernel
 
 
-def _scan_kernel(sr: Semiring, identity: float, layers: int):
-    P = 8  # y window rows per bin: (8,128) = 1024 y values
+def _route3(v, s1_ref, s2_ref, s3_ref):
+    a = jnp.take_along_axis(v, s1_ref[...].astype(jnp.int32), axis=1).T
+    a = jnp.take_along_axis(a, s2_ref[...].astype(jnp.int32), axis=1).T
+    return jnp.take_along_axis(a, s3_ref[...].astype(jnp.int32), axis=1)
 
-    def kernel(bins_ref, r_start_ref, lrow_ref, last_ref, first_ref,
-               prod_ref, cid_ref, s1_ref, s2_ref, s3_ref, valid_ref,
-               y_ref, carry_row_ref, carry_val_ref):
+
+def _scan_kernel(sr: Semiring, identity: float):
+    P = BIN_ROWS // LANES  # y window rows per bin
+
+    def kernel(bins_ref, first_ref,
+               prod_ref, cid_ref, r1s1_ref, r1s2_ref, r1s3_ref,
+               rel2_ref, r2s1_ref, r2s2_ref, r2s3_ref, valid2_ref,
+               y_ref):
         f = pl.program_id(0)
+        del bins_ref  # used only by the out index map
 
-        @pl.when(f == 0)
-        def _init():
-            carry_row_ref[0] = -1
-            carry_val_ref[0] = identity
-
+        # scan 1: per-chunk totals (monotonic chunk ids; junk slots
+        # carry cid+16384 so segments bridge gaps at identity value)
         cid = cid_ref[...].astype(jnp.int32)
-        live = cid < 16384      # junk slots carry cid+16384
-        seg = cid & 16383       # monotonic chunk id; junk bridges gaps
-        prod = jnp.where(live, prod_ref[...],
+        prod = jnp.where(cid < 16384, prod_ref[...],
                          jnp.full_like(prod_ref[...], identity))
-        scan = segmented_scan_tile(prod, seg, sr.reduce, identity)
+        scan = segmented_scan_tile(prod, cid & 16383, sr.reduce, identity)
 
-        # chunk-end extraction: 3-stage routed gather into layered
-        # (8,128) row windows
-        a = jnp.take_along_axis(scan, s1_ref[...].astype(jnp.int32), axis=1)
-        a = a.T
-        a = jnp.take_along_axis(a, s2_ref[...].astype(jnp.int32), axis=1)
-        a = a.T
-        ends = jnp.take_along_axis(a, s3_ref[...].astype(jnp.int32), axis=1)
-        vm = valid_ref[...].astype(jnp.int32) > 0  # i8 cmp unsupported
-        ends = jnp.where(vm, ends, identity)
+        # route1: chunk-end values into a rel-sorted compact prefix,
+        # then scan 2 merges same-row chunks
+        ends = _route3(scan, r1s1_ref, r1s2_ref, r1s3_ref)
+        rel2 = rel2_ref[...].astype(jnp.int32)
+        ends = jnp.where(rel2 < 16384, ends, jnp.full_like(ends, identity))
+        scan2 = segmented_scan_tile(ends, rel2 & 16383, sr.reduce, identity)
 
-        y_cand = jnp.full((P, LANES), identity, dtype=ends.dtype)
-        has = jnp.zeros((P, LANES), dtype=jnp.int32)
-        for l in range(layers):
-            y_cand = sr.reduce(y_cand, ends[l * P:(l + 1) * P, :])
-            has = has | vm[l * P:(l + 1) * P, :].astype(jnp.int32)
+        # route2: per-row totals into the rel-addressed y window
+        y_full = _route3(scan2, r2s1_ref, r2s2_ref, r2s3_ref)
+        vm = valid2_ref[...].astype(jnp.int32) > 0  # i8 cmp unsupported
+        y_cand = jnp.where(vm, y_full[:P, :],
+                           jnp.full((P, LANES), identity, dtype=y_full.dtype))
 
-        # fold the running carry into this tile's first row
-        r0 = r_start_ref[f]
-        fold = carry_row_ref[0] == r0
-        r0rel = r0 - bins_ref[f] * BIN_ROWS
-        slot0 = flat_iota((P, LANES)) == r0rel
-        y_cand = jnp.where(
-            jnp.logical_and(fold, slot0),
-            sr.reduce(y_cand, jnp.full_like(y_cand, carry_val_ref[0])),
-            y_cand)
-
-        # carry out: the last row's window slot holds its in-tile total
-        lr = lrow_ref[f]
-        lrel = lr - bins_ref[f] * BIN_ROWS
-        lmask = flat_iota((P, LANES)) == lrel
-        carry_val_ref[0] = sr.reduce_array(
-            jnp.where(lmask, y_cand, identity))
-        carry_row_ref[0] = lr
-
-        # write/merge the bin window
+        # reduce-merge into the bin window: rows split across tiles in
+        # ANY pattern combine by semiring associativity — no carry
+        # chain, no row-contiguity requirement (the decoupled-lookback
+        # fixup analog, ref: agent_segment_fixup.cuh, reduced to an
+        # accumulating revisit of the output block).
         ident_win = jnp.full((P, LANES), identity, dtype=y_cand.dtype)
         prev = jnp.where(first_ref[f] == 1, ident_win, y_ref[...])
-        y_ref[...] = jnp.where(has > 0, y_cand, prev)
+        y_ref[...] = sr.reduce(prev, y_cand)
 
     return kernel
 
@@ -549,32 +532,34 @@ def _gather_pass(x2d, ax, q, xb, *, sr_name, sbt, n_tiles, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sr_name", "layers", "F", "n_bins", "interpret"))
-def _scan_pass(prod_fin, rel, s1, s2, s3, valid, bins, r_start, lrow,
-               last_slot, first_touch, *, sr_name, layers, F, n_bins,
-               interpret):
+    "sr_name", "F", "n_bins", "interpret"))
+def _scan_pass(prod_fin, cid, r1s1, r1s2, r1s3, rel2, r2s1, r2s2, r2s3,
+               valid2, bins, first_touch, *, sr_name, F,
+               n_bins, interpret):
     from spmv_tpu.ops.semiring import BUILTIN_SEMIRINGS
 
     sr = BUILTIN_SEMIRINGS[sr_name]
     identity = float(sr.identity_for(prod_fin.dtype))
+    P = BIN_ROWS // LANES
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=2,
         grid=(F,),
-        in_specs=[pl.BlockSpec((LANES, LANES), lambda f, *_: (f, 0))] * 6,
-        out_specs=pl.BlockSpec((8, LANES), lambda f, b, *_: (b[f], 0)),
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
-                        pltpu.SMEM((1,), prod_fin.dtype)],
+        in_specs=(
+            [pl.BlockSpec((LANES, LANES), lambda f, *_: (f, 0))] * 9
+            + [pl.BlockSpec((P, LANES), lambda f, *_: (f, 0))]
+        ),
+        out_specs=pl.BlockSpec((P, LANES), lambda f, b, *_: (b[f], 0)),
     )
     return pl.pallas_call(
-        _scan_kernel(sr, identity, layers),
+        _scan_kernel(sr, identity),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_bins * 8, LANES), prod_fin.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_bins * P, LANES), prod_fin.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(bins, r_start, lrow, last_slot, first_touch,
-      prod_fin, rel, s1, s2, s3, valid)
+    )(bins, first_touch,
+      prod_fin, cid, r1s1, r1s2, r1s3, rel2, r2s1, r2s2, r2s3, valid2)
 
 
 def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
@@ -612,14 +597,13 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
     prod_fin = prod_fin[: plan.n_final_tiles * LANES]
 
     y2d = _scan_pass(
-        prod_fin, plan.scan["cid"], plan.scan["s1"], plan.scan["s2"],
-        plan.scan["s3"], plan.scan["valid"], plan.scan["bins"],
-        plan.scan["r_start"], plan.scan["lrow"], plan.scan["last_slot"],
-        plan.scan["first_touch"], sr_name=semiring.name,
-        layers=plan.layers, F=plan.n_final_tiles, n_bins=plan.n_bins,
-        interpret=interp)
+        prod_fin, plan.scan["cid"], plan.scan["r1s1"], plan.scan["r1s2"],
+        plan.scan["r1s3"], plan.scan["rel2"], plan.scan["r2s1"],
+        plan.scan["r2s2"], plan.scan["r2s3"], plan.scan["valid2"],
+        plan.scan["bins"], plan.scan["first_touch"], sr_name=semiring.name,
+        F=plan.n_final_tiles, n_bins=plan.n_bins, interpret=interp)
 
-    y3 = y2d.reshape(plan.n_bins, 8 * LANES)
+    y3 = y2d.reshape(plan.n_bins, BIN_ROWS)
     y3 = jnp.where(plan.touched_bins[:, None], y3, ident)
     return y3.reshape(-1)[: A.n_rows]
 
