@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -49,15 +50,13 @@ class SplitPass:
     K: int    # destination groups = output arrays
     Q: int    # quota rows per (tile, group)
     in_rows: int
-    # stitching of the K output arrays into consumer order:
-    # "concat"      -> concat over k (pass 1: regions)
-    # (G, spr)      -> interleave: final tile f = region*K + k drawn
-    #                  from array k blocks region*spr..+spr
-    stitch: object
+    out_rows: int  # stitched output rows (concat of the K arrays)
+    stitch: object  # always "concat": regions interleave round-robin
     s1: np.ndarray  # (n_steps*sbt*128, 128) u8 routing stages
     s2: np.ndarray
     s3: np.ndarray
     starts: np.ndarray  # (n_steps, sbt, K) i32 window start row
+    pos: np.ndarray = None  # (n_steps,) i32 out block index per step
 
 
 @dataclasses.dataclass
@@ -72,20 +71,28 @@ class ShufflePlan:
 
 
 def _plan_split(cur: np.ndarray, grp: np.ndarray, n_groups: int,
-                sbt: int, Q: int, stitch, out_flat_base):
+                sbt: int, Q: int, stitch, out_flat_base,
+                out_rows: Optional[int] = None):
     """Plan one split pass and simulate its stitched output layout.
 
     cur: (slots,) int64 payload per input slot, -1 junk.
     grp: (slots,) destination group per slot (ignored where junk).
     out_flat_base(step, g, j) -> flat output element index of the start
-    of the (step, group, tile-j) quota window in CONSUMER order.
+    of the (step, group, tile-j) quota window in CONSUMER order. The
+    per-group output arrays are laid out so that
+    out_flat_base(step, g, j) == g*(out_rows/n_groups)*128 + local,
+    with `local` identical across g (regions interleave round-robin).
+    out_rows: total stitched output rows (may exceed the quota blocks'
+    footprint — gap rows stay junk).
     """
     slots = cur.shape[0]
     assert slots % (sbt * TILE) == 0, "input must align to superblocks"
     n_tiles = slots // TILE
     n_steps = n_tiles // sbt
     blk_rows = sbt * Q
-    out_rows = n_steps * n_groups * blk_rows
+    if out_rows is None:
+        out_rows = n_steps * n_groups * blk_rows
+    assert out_rows % n_groups == 0
 
     g_eff = np.where(cur >= 0, grp, n_groups)  # junk sorts last
     src = np.full((n_tiles, LANES, LANES), -1, dtype=np.int32)
@@ -116,18 +123,41 @@ def _plan_split(cur: np.ndarray, grp: np.ndarray, n_groups: int,
                 woff = b - st * LANES
                 new_cur[base + woff:base + woff + c] = cur_t[t][order[b:e]]
 
-    s1, s2, s3 = route_tiles(src)
+    # per-step output block position within each group's array, in
+    # blk_rows units (identical across groups by the layout contract)
+    rows_per_g = out_rows // n_groups
+    pos = np.empty(n_steps, dtype=np.int32)
+    for t in range(n_steps):
+        base0 = out_flat_base(t, 0, 0)
+        if base0 % (blk_rows * LANES):
+            raise ValueError("region start not aligned to quota blocks")
+        if base0 + blk_rows * LANES > rows_per_g * LANES:
+            raise ValueError("quota block exceeds the group region")
+        pos[t] = base0 // (blk_rows * LANES)
     p = SplitPass(
         n_steps=n_steps, sbt=sbt, K=n_groups, Q=Q,
-        in_rows=slots // LANES, stitch=stitch,
-        s1=s1.reshape(-1, LANES), s2=s2.reshape(-1, LANES),
-        s3=s3.reshape(-1, LANES), starts=starts)
+        in_rows=slots // LANES, out_rows=out_rows, stitch=stitch,
+        s1=src, s2=None, s3=None, starts=starts, pos=pos)
     return p, new_cur
 
 
 def plan_shuffle(dst_pos: np.ndarray, n_final_tiles: int, n_regions: int,
                  sbt: int = 8, q1: int = 8) -> ShufflePlan:
-    """Plan a 2-pass shuffle.
+    """Plan a 2-pass shuffle (see plan_shuffle_multi for semantics)."""
+    slots = dst_pos.shape[0]
+    n_tiles_in = slots // TILE
+    n_steps1 = n_tiles_in // sbt
+    r1_tiles = (n_steps1 * sbt * q1) // LANES
+    if r1_tiles * LANES != n_steps1 * sbt * q1:
+        raise ValueError("geometry: pass-1 region is not tile-aligned")
+    return plan_shuffle_multi(
+        dst_pos, n_final_tiles,
+        levels=[(int(n_regions), q1, r1_tiles)], sbt=sbt)
+
+
+def plan_shuffle_multi(dst_pos: np.ndarray, n_final_tiles: int,
+                       levels, sbt: int = 8) -> ShufflePlan:
+    """Plan an N-pass shuffle.
 
     dst_pos: (in_rows*128,) int64; per input slot, the requested
     destination flat position over `n_final_tiles` (128,128) output
@@ -136,72 +166,106 @@ def plan_shuffle(dst_pos: np.ndarray, n_final_tiles: int, n_regions: int,
     elements; the within-tile slot arrangement is reported in
     `slot_of_dst` (consumers finish with one tile-perm).
 
-    n_regions: pass-1 group count G. Final tiles are assigned to
-    regions ROUND-ROBIN (f % G), so runs of consecutive destination
-    tiles (e.g. one heavy row's tiles) spread across regions instead of
-    concentrating one region's quota windows. Raises ValueError on
-    quota overflow — callers retry with more regions / other geometry.
+    levels: list of (G_l, q_l, region_tiles_l) for every non-final
+    pass; the final pass's quota q_last = 128 * sbt_steps... is derived
+    from the last region size (region_tiles * q_last == 128). Final
+    tiles are distributed over the level tree by MIXED-RADIX
+    ROUND-ROBIN: level-l digit of tile f is (f // prod(G_1..G_{l-1}))
+    % G_l, so runs of consecutive destination tiles (e.g. one heavy
+    row's tiles) spread across regions instead of concentrating any
+    region's quota windows. Raises ValueError on quota overflow or
+    inconsistent geometry — callers search geometry and retry.
     """
     slots = dst_pos.shape[0]
     if slots % (sbt * TILE) != 0:
         raise ValueError("input slots must be a multiple of sbt*16384")
-    n_tiles_in = slots // TILE
-    n_steps1 = n_tiles_in // sbt
-    region_tiles = (n_steps1 * sbt * q1) // LANES
-    if region_tiles * LANES != n_steps1 * sbt * q1 or LANES % region_tiles:
-        raise ValueError(
-            f"geometry: region_tiles={region_tiles} must divide 128; "
-            f"pad input (tiles={n_tiles_in}) or adjust q1")
-    q2 = LANES // region_tiles
-    if region_tiles % sbt:
-        raise ValueError("region_tiles must be a multiple of sbt")
-    spr = region_tiles // sbt  # pass-2 steps per region
-
     F = int(n_final_tiles)
-    G = int(n_regions)
-    g_size = -(-F // G)
-    F_pad = G * g_size
-
     if dst_pos.size and dst_pos.max() >= F * TILE:
         raise ValueError("dst_pos out of range")
     dst_tile = np.where(dst_pos >= 0, dst_pos // TILE, -1)
-    grp1 = np.where(dst_tile >= 0, dst_tile % G, 0)  # round-robin
 
-    # pass 1 consumer order: regions concatenated over g
-    region_elems = n_steps1 * sbt * q1 * LANES
-    blk1 = sbt * q1 * LANES
+    Gs = [int(g) for g, _, _ in levels]
+    prodG = 1
+    for g in Gs:
+        prodG *= g
+    g_size = -(-F // prodG)
+    F_pad = prodG * g_size
 
-    def base1(step, g, j):
-        return g * region_elems + step * blk1 + j * q1 * LANES
+    passes = []
+    cur = dst_pos
+    radix = 1          # prod of G_1..G_{l-1}
+    nreg = 1           # number of parent regions of the current pass
+    cur_region_tiles = slots // TILE  # tiles per parent region
+    for (G, q, r_tiles) in levels:
+        if cur_region_tiles % sbt:
+            raise ValueError("parent region tiles must be a multiple of sbt")
+        spp = cur_region_tiles // sbt  # steps per parent region
+        blk = sbt * q * LANES
+        need_rows = spp * sbt * q
+        if need_rows > r_tiles * LANES:
+            raise ValueError(
+                f"region_tiles={r_tiles} too small for {need_rows} quota rows")
+        grp = np.where(dst_tile >= 0, (dst_tile // radix) % G, 0)
+        # map group id through the simulated layout: grp is defined on
+        # FINAL tiles; cur holds dst positions, so recompute per slot
+        grp_slot = np.where(cur >= 0, ((cur // TILE) // radix) % G, 0)
+        region_elems = r_tiles * TILE
+        nreg_out = nreg * G
 
-    p1, mid = _plan_split(dst_pos, grp1, G, sbt, q1, "concat", base1)
+        def base(step, g_loc, j, spp=spp, blk=blk, q=q, G=G, nreg=nreg,
+                 region_elems=region_elems):
+            parent, s = divmod(step, spp)
+            region = g_loc * nreg + parent
+            return region * region_elems + s * blk + j * q * LANES
 
-    # pass 2: region g holds final tiles {f : f % G == g}; local slot
-    # k corresponds to f = k*G + region, so stitching is a plain
-    # (K, G, ...) reshape — f-major without any transpose.
-    grp2 = np.where(mid >= 0, (mid // TILE) // G, 0)
-    blk2 = sbt * q2 * LANES
+        p, cur = _plan_split(cur, grp_slot, G, sbt, q, "concat", base,
+                             out_rows=nreg_out * r_tiles * LANES)
+        passes.append(p)
+        radix *= G
+        nreg = nreg_out
+        cur_region_tiles = r_tiles
 
-    def base2(step, k, j):
-        region, s = divmod(step, spr)
-        f = k * G + region
-        return f * TILE + s * blk2 + j * q2 * LANES
+    # final pass: each parent region maps onto g_size final tiles
+    if cur_region_tiles % sbt:
+        raise ValueError("final region tiles must be a multiple of sbt")
+    if LANES % cur_region_tiles:
+        raise ValueError(
+            f"final region tiles {cur_region_tiles} must divide 128")
+    q_last = LANES // cur_region_tiles
+    spp = cur_region_tiles // sbt
+    blk = sbt * q_last * LANES
+    grp_last = np.where(cur >= 0, (cur // TILE) // radix, 0)
 
-    p2, fin = _plan_split(mid, grp2, g_size, sbt, q2, (G, spr), base2)
+    def base_last(step, k, j, spp=spp, blk=blk, radix=radix):
+        parent, s = divmod(step, spp)
+        f = k * radix + parent
+        return f * TILE + s * blk + j * q_last * LANES
+
+    p, fin = _plan_split(cur, grp_last, g_size, sbt, q_last, "concat",
+                         base_last, out_rows=F_pad * LANES)
+    passes.append(p)
 
     slot_of_dst = np.full(F * TILE, -1, dtype=np.int64)
     liv = fin >= 0
     fl = fin[liv]
     keep = fl < F * TILE
     slot_of_dst[fl[keep]] = np.nonzero(liv)[0][keep]
-    return ShufflePlan(passes=[p1, p2], in_rows=slots // LANES,
+
+    # All quotas fit: now pay for the per-tile 3-stage routing.
+    for p in passes:
+        s1, s2, s3 = route_tiles(p.s1)
+        p.s1 = s1.reshape(-1, LANES)
+        p.s2 = s2.reshape(-1, LANES)
+        p.s3 = s3.reshape(-1, LANES)
+    return ShufflePlan(passes=passes, in_rows=slots // LANES,
                        out_rows=F_pad * LANES, slot_of_dst=slot_of_dst)
 
 
 def _split_kernel(sbt: int, K: int, Q: int):
-    def kernel(starts_ref, data_ref, s1_ref, s2_ref, s3_ref, *refs):
+    def kernel(pos_ref, starts_ref, data_ref, s1_ref, s2_ref, s3_ref,
+               *refs):
+        del pos_ref  # consumed by the output index maps
         out_refs, scratch = refs[:-1], refs[-1]
-        t = pl.program_id(0)
         for j in range(sbt):
             tile = data_ref[j * LANES:(j + 1) * LANES, :]
             i1 = s1_ref[j * LANES:(j + 1) * LANES, :].astype(jnp.int32)
@@ -211,9 +275,11 @@ def _split_kernel(sbt: int, K: int, Q: int):
             a = jnp.take_along_axis(a, i2, axis=1).T
             scratch[j * LANES:(j + 1) * LANES, :] = \
                 jnp.take_along_axis(a, i3, axis=1)
+        r = pl.program_id(0) % 8  # row of this step within the (8, W) block
+        srow = starts_ref[pl.ds(r, 1), :]
         for k in range(K):
             for j in range(sbt):
-                st = starts_ref[t, j, k]
+                st = srow[0, j * K + k]
                 out_refs[k][j * Q:(j + 1) * Q, :] = \
                     scratch[pl.ds(j * LANES + st, Q), :]
 
@@ -221,45 +287,56 @@ def _split_kernel(sbt: int, K: int, Q: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_steps", "sbt", "K", "Q", "interpret"))
-def _run_split(data, s1, s2, s3, starts, *, n_steps, sbt, K, Q, interpret):
+    "n_steps", "sbt", "K", "Q", "rows_per_g", "interpret"))
+def _run_split(data, s1, s2, s3, starts, pos, *, n_steps, sbt, K, Q,
+               rows_per_g, interpret):
     blk_rows = sbt * Q
     in_rows_blk = sbt * LANES
+    sw = starts.shape[1]  # padded sbt*K width
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
-        in_specs=[pl.BlockSpec((in_rows_blk, LANES),
-                               lambda t, starts: (t, 0))] * 4,
+        in_specs=(
+            [pl.BlockSpec((8, sw), lambda t, pos: (t // 8, 0))]
+            + [pl.BlockSpec((in_rows_blk, LANES),
+                            lambda t, pos: (t, 0))] * 4
+        ),
         out_specs=[pl.BlockSpec((blk_rows, LANES),
-                                lambda t, starts: (t, 0))] * K,
+                                lambda t, pos: (pos[t], 0))] * K,
         scratch_shapes=[pltpu.VMEM((sbt * LANES, LANES), data.dtype)],
     )
     return pl.pallas_call(
         _split_kernel(sbt, K, Q),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_steps * blk_rows, LANES),
-                                        data.dtype) for _ in range(K)],
+        out_shape=[jax.ShapeDtypeStruct((rows_per_g, LANES), data.dtype)
+                   for _ in range(K)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(starts, data, s1, s2, s3)
+    )(pos, starts, data, s1, s2, s3)
 
 
 def shuffle_device_arrays(plan: ShufflePlan) -> list:
-    """Upload plan arrays once; returns a list of per-pass dicts."""
-    return [{
-        "s1": jnp.asarray(p.s1), "s2": jnp.asarray(p.s2),
-        "s3": jnp.asarray(p.s3), "starts": jnp.asarray(p.starts),
-    } for p in plan.passes]
+    """Upload plan arrays once; returns a list of per-pass dicts.
 
-
-def _stitch(outs, p: SplitPass):
-    if p.stitch == "concat":
-        return jnp.concatenate(outs, axis=0)
-    # round-robin regions: array k holds final tiles f = k*G + region,
-    # so concatenating the K arrays IS f-major order.
-    return jnp.concatenate(outs, axis=0)
+    `starts` is streamed as a VMEM input (one (1, sbt*K) row per step,
+    padded to a lane multiple) — at large step counts it exceeds the
+    1 MB SMEM scalar budget.
+    """
+    out = []
+    for p in plan.passes:
+        n_steps, sbt, K = p.starts.shape
+        w = -(-(sbt * K) // LANES) * LANES
+        rows = -(-n_steps // 8) * 8
+        st = np.zeros((rows, w), dtype=np.int32)
+        st[:n_steps, : sbt * K] = p.starts.reshape(n_steps, sbt * K)
+        out.append({
+            "s1": jnp.asarray(p.s1), "s2": jnp.asarray(p.s2),
+            "s3": jnp.asarray(p.s3), "starts": jnp.asarray(st),
+            "pos": jnp.asarray(p.pos),
+        })
+    return out
 
 
 def apply_shuffle(data: jax.Array, plan: ShufflePlan, dev: list):
@@ -267,7 +344,9 @@ def apply_shuffle(data: jax.Array, plan: ShufflePlan, dev: list):
     x = data
     for p, d in zip(plan.passes, dev):
         outs = _run_split(x, d["s1"], d["s2"], d["s3"], d["starts"],
-                          n_steps=p.n_steps, sbt=p.sbt, K=p.K, Q=p.Q,
+                          d["pos"], n_steps=p.n_steps, sbt=p.sbt, K=p.K,
+                          Q=p.Q, rows_per_g=p.out_rows // p.K,
                           interpret=config.use_interpret())
-        x = _stitch(outs, p)
+        # regions interleave round-robin: concat over k IS consumer order
+        x = jnp.concatenate(outs, axis=0)
     return x

@@ -56,6 +56,7 @@ from spmv_tpu.kernels.shuffle import (
     ShufflePlan,
     apply_shuffle,
     plan_shuffle,
+    plan_shuffle_multi,
     shuffle_device_arrays,
 )
 from spmv_tpu.ops.registry import register, plan_cache
@@ -309,15 +310,12 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     slot_src, slot_q, xb, hot_cols = _plan_gather(Aj, policy, x_blocks_pad)
     n_gather_tiles = xb.shape[0]
 
-    # pad gather tiles to the shuffle geometry (128 or 256 tiles)
-    for cap in (128, 256):
-        if n_gather_tiles <= cap:
-            pad_tiles = cap
-            break
-    else:
+    # pad gather tiles to a shuffle-friendly size (multiple of 128)
+    if n_gather_tiles > 4096:
         raise ValueError(
-            f"matrix too large for the 2-pass shuffle: {n_gather_tiles} "
-            f"gather tiles > 256 (~3.7M nnz cap); use kind 'merge'/'xla'")
+            f"matrix too large for the shuffle planner: {n_gather_tiles} "
+            f"gather tiles > 4096 (~60M nnz); use kind 'merge'/'xla'")
+    pad_tiles = max(128, -(-n_gather_tiles // 128) * 128)
     padn = pad_tiles - n_gather_tiles
     if padn:
         slot_src = np.concatenate(
@@ -335,6 +333,17 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     rank_of_slot = slot_src  # CSR order IS row-sorted rank order
     live = rank_of_slot >= 0
 
+    import os
+    import sys
+    import time as _time
+    verbose = bool(os.environ.get("SPMV_TPU_PLAN_VERBOSE"))
+
+    def _log(msg):
+        if verbose:
+            print(f"[stream-plan +{_time.perf_counter()-_t0:.1f}s] {msg}",
+                  file=sys.stderr, flush=True)
+
+    _t0 = _time.perf_counter()
     last_err: Optional[Exception] = None
     plan_sh = None
     walk = None
@@ -355,24 +364,32 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         dst_pos[live] = dst_of_rank[rank_of_slot[live]]
         dst_tile = np.where(dst_pos >= 0, dst_pos // TILE, 0)
 
-        def _pass1_fits(g_size: int, q1: int) -> bool:
-            G = -(-F // g_size)
-            grp = (dst_tile[live] // g_size).astype(np.int64)
+        def _pass1_fits(G: int, q1: int) -> bool:
+            grp = (dst_tile[live] % G).astype(np.int64)
             key = slot_tile[live] * G + grp
             cnt = np.bincount(key, minlength=pad_tiles * G)
             return int(cnt.max()) <= q1 * LANES - (LANES - 1)
 
+        def _round_region(need: int) -> Optional[int]:
+            for r in (8, 16, 32, 64, 128):
+                if r >= need:
+                    return r
+            return None
+
+        # 2-pass geometries (reach ~8M slots)
         for q1 in (8, 16):
             region_tiles = (pad_tiles * q1) // LANES
-            if LANES % region_tiles and region_tiles > LANES:
+            if region_tiles > LANES or LANES % region_tiles \
+                    or region_tiles % 8:
                 continue
             hi = min(F, 4 * region_tiles)
             for g_size in range(hi, 0, -1):
                 G = -(-F // g_size)
-                if G > 32:
+                if G > 64:
                     break
-                if not _pass1_fits(g_size, q1):
+                if not _pass1_fits(G, q1):
                     continue
+                _log(f"2-pass attempt kappa={kappa} q1={q1} G={G}")
                 try:
                     plan_sh = plan_shuffle(dst_pos, F, G, sbt=8, q1=q1)
                     break
@@ -380,6 +397,98 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
                     last_err = e
             if plan_sh is not None:
                 break
+
+        # 3-pass geometries (reach ~60M slots). All three levels'
+        # quota-window counts are computed exactly in closed form
+        # before paying for a full plan (which re-validates anyway).
+        def _fits_3pass(G1, q1, r1, G2, q2, r2, g3, q3, sbt=8):
+            lv = live
+            dt = dst_tile[lv]
+            st_t = slot_tile[lv]
+            g1 = dt % G1
+            g2 = (dt // G1) % G2
+            k3 = dt // (G1 * G2)
+            cap = lambda q: q * LANES - (LANES - 1)
+            # level 1: (gather tile, g1)
+            c1 = np.bincount(st_t * G1 + g1, minlength=1)
+            if c1.max() > cap(q1):
+                return False
+            # level 2: mid tile = (g1, step1*blk1 row window)
+            blk1_rows = sbt * q1
+            step1 = st_t // sbt
+            mid_in_reg = (step1 * blk1_rows) // LANES
+            mid_id = g1 * r1 + mid_in_reg
+            c2 = np.bincount(mid_id * G2 + g2, minlength=1)
+            if c2.max() > cap(q2):
+                return False
+            # level 3: sub tile = (g2, parent-region, step2 window)
+            blk2_rows = sbt * q2
+            step2 = mid_id // sbt
+            spp2 = r1 // sbt
+            parent2 = step2 // spp2  # == g1 region index
+            s2 = step2 % spp2
+            sub_in_reg = (s2 * blk2_rows) // LANES
+            sub_id = (g2 * G1 + parent2) * r2 + sub_in_reg
+            c3 = np.bincount(sub_id * g3 + k3, minlength=1)
+            return c3.max() <= cap(q3)
+
+        if plan_sh is None:
+            cap = lambda q: q * LANES - (LANES - 1)
+            tile_live = np.bincount(slot_tile[live], minlength=pad_tiles)
+            dt = dst_tile[live]
+            st_t = slot_tile[live]
+            for q1, q2 in ((8, 8), (8, 16), (16, 8)):
+                r1 = -(-pad_tiles * q1 // LANES)
+                r1 = -(-r1 // 8) * 8
+                r2 = _round_region(-(-r1 * q2 // LANES))
+                if r2 is None or LANES % r2:
+                    continue
+                q3 = LANES // r2
+                # level 1: first G1 whose (gather tile, group) counts fit
+                G1 = None
+                g1_0 = max(2, int(-(-tile_live.max() // cap(q1))))
+                for cand in range(g1_0, 65, 2):
+                    if _pass1_fits(cand, q1):
+                        G1 = cand
+                        break
+                if G1 is None:
+                    continue
+                # level 2: first G2 whose (mid tile, group) counts fit
+                g1v = dt % G1
+                mid_id = g1v * r1 + ((st_t // 8) * 8 * q1) // LANES
+                c2b = int(np.bincount(mid_id, minlength=1).max())
+                G2 = None
+                for delta in (0, 2, 4, 8, 16):
+                    cand = max(2, -(-c2b // cap(q2))) + delta
+                    if cand > 64:
+                        break
+                    g2v = (dt // G1) % cand
+                    if np.bincount(mid_id * cand + g2v,
+                                   minlength=1).max() <= cap(q2):
+                        G2 = cand
+                        break
+                if G2 is None:
+                    continue
+                g3 = -(-F // (G1 * G2))
+                if g3 > 64:
+                    continue
+                ok3 = _fits_3pass(G1, q1, r1, G2, q2, r2, g3, q3)
+                _log(f"3-pass kappa={kappa} q=({q1},{q2}) "
+                     f"G=({G1},{G2},{g3}) r=({r1},{r2}) level3_ok={ok3}")
+                if not ok3:
+                    # the final-level concentration depends on kappa far
+                    # more than on G1/G2 — descend kappa instead
+                    break
+                try:
+                    plan_sh = plan_shuffle_multi(
+                        dst_pos, F, levels=[(G1, q1, r1), (G2, q2, r2)],
+                        sbt=8)
+                except ValueError as e:
+                    last_err = e
+                    _log(f"  -> plan failed: {e}")
+                if plan_sh is not None:
+                    break
+
         if plan_sh is not None:
             walk = (k_starts, bins, r_starts, lrows)
             break

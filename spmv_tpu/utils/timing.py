@@ -60,23 +60,31 @@ def _device_loop(fn: Callable, x0: jax.Array, iters: int):
     The loop carries (x, acc); each iteration's y feeds both a checksum
     and — through a runtime-false select — the next x, so XLA must run
     every iteration in order and cannot hoist the SpMV out of the loop.
+
+    Device arrays captured by `fn` (per-matrix plan arrays can be
+    hundreds of MB) are closure-converted into runtime arguments —
+    baked-in constants would blow up the remote compile request.
     """
+    fn_conv, consts = jax.closure_convert(lambda v: fn(v), x0)
+
     def body(_, carry):
-        x, acc = carry
-        y = fn(x)
+        x, acc, cs = carry
+        y = fn_conv(x, *cs)
+        y = jax.tree_util.tree_leaves(y)[0]
         acc = acc + y.reshape(-1)[0].astype(jnp.float32)
         # Runtime-false (acc is finite), compile-time-unknown select:
         # keeps x numerically constant while forcing the dependency.
         taint = jnp.where(jnp.isnan(acc), y.reshape(-1)[0].astype(x.dtype), 0)
         x = x.at[0].add(taint)
-        return x, acc
+        return x, acc, cs
 
     @jax.jit
-    def run(x):
-        x, acc = jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0)))
+    def run(x, cs):
+        x, acc, _ = jax.lax.fori_loop(
+            0, iters, body, (x, jnp.float32(0), tuple(cs)))
         return acc + x.reshape(-1)[0].astype(jnp.float32)
 
-    return run
+    return lambda x: run(x, tuple(consts))
 
 
 def benchmark_fn(fn: Callable, x0, iters: int = 50, warmup: bool = True):
@@ -99,11 +107,6 @@ def benchmark_fn(fn: Callable, x0, iters: int = 50, warmup: bool = True):
     total_s = time.perf_counter() - t0
 
     lo = max(1, iters // 4)
-    run_lo = _device_loop(fn, x0, lo)
-    run_hi = _device_loop(fn, x0, iters)
-    if warmup:
-        float(run_lo(x0))
-        float(run_hi(x0))
 
     def _best(run, reps=2):
         best = float("inf")
@@ -116,8 +119,37 @@ def benchmark_fn(fn: Callable, x0, iters: int = 50, warmup: bool = True):
             best = min(best, el)
         return best
 
-    t_lo = _best(run_lo)
-    t_hi = _best(run_hi)
+    try:
+        run_lo = _device_loop(fn, x0, lo)
+        run_hi = _device_loop(fn, x0, iters)
+        if warmup:
+            float(run_lo(x0))
+            float(run_hi(x0))
+        t_lo = _best(run_lo)
+        t_hi = _best(run_hi)
+    except Exception:
+        # Large pipelines can exceed the remote runtime's single-program
+        # limits; fall back to python-level ASYNC chaining — dispatches
+        # pipeline through the tunnel, so the slope still measures
+        # device time (each input is value-perturbed at 1e-12 relative
+        # so no two dispatches are identical/coalescable).
+        dep = jax.jit(
+            lambda x, y, i: x * (1.0 + (y.reshape(-1)[0] * 0 + i) * 1e-12))
+
+        def run_async(n):
+            def go(_):
+                t0 = time.perf_counter()
+                y = fn(x0)
+                for i in range(1, n):
+                    y = fn(dep(x0, y, float(i)))
+                jax.block_until_ready(y)
+                return time.perf_counter() - t0
+
+            go(None)  # warm
+            return min(go(None), go(None))
+
+        t_lo = run_async(lo)
+        t_hi = run_async(iters)
     kernel_s = max((t_hi - t_lo) / (iters - lo), 1e-9)
     return total_s, kernel_s
 
