@@ -39,6 +39,7 @@ from spmv_tpu.ops.reference import spmv_ref, spmv_ref_semiring
 
 # Importing the kernel modules registers all built-in kinds.
 from spmv_tpu import kernels as _kernels  # noqa: F401
+from spmv_tpu.kernels.spmm import spmm
 from spmv_tpu.io.matrix_market import read_matrix_market, write_matrix_market
 
 __version__ = "0.1.0"
@@ -58,6 +59,7 @@ __all__ = [
     "list_kinds",
     "spmv",
     "SpMV",
+    "spmm",
     "spmv_ref",
     "spmv_ref_semiring",
     "read_matrix_market",

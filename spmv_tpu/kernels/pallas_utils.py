@@ -136,6 +136,26 @@ def unsegmented_scan_tile(v, add_fn=None):
     return add_fn(v, carry)
 
 
+def segmented_scan_sublanes(v, seg, reduce_fn, identity):
+    """Inclusive segmented scan DOWN the sublane axis of a (S, 128)
+    tile: each lane accumulates independently; `seg` (int32, same
+    shape) holds per-sublane segment ids, non-decreasing along axis 0.
+
+    This is the SpMM orientation of segmented_scan_tile: values are
+    whole 128-wide rows (one dense-block row per nonzero), so the
+    reduce-by-key runs across sublanes (log2(S) roll steps)."""
+    S, L = v.shape
+    subl = sublane_iota(v.shape)
+    d = 1
+    while d < S:
+        sv = pltpu.roll(v, d, 0)
+        ss = pltpu.roll(seg, d, 0)
+        ok = (subl >= d) & (ss == seg)
+        v = jnp.where(ok, reduce_fn(v, sv), v)
+        d *= 2
+    return v
+
+
 def gather_flat(v, idx, identity):
     """out[p, j] = v_flat[idx[p, j]], with idx < 0 yielding `identity`.
 

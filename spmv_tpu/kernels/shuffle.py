@@ -261,6 +261,112 @@ def plan_shuffle_multi(dst_pos: np.ndarray, n_final_tiles: int,
                        out_rows=F_pad * LANES, slot_of_dst=slot_of_dst)
 
 
+def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
+                      sbt: int = 8, log=None) -> ShufflePlan:
+    """Discover a feasible shuffle geometry and plan it.
+
+    Tries 2-pass geometries, then 3-pass; every quota level is checked
+    exactly in closed form (bincounts over the destination digits)
+    before a full plan is attempted, so failed geometries cost
+    milliseconds instead of a full simulation. Raises ValueError when
+    nothing fits (callers fall back or re-tile their input)."""
+    slots = dst_pos.shape[0]
+    pad_tiles = slots // TILE
+    F = int(n_final_tiles)
+    live = dst_pos >= 0
+    dst_tile = np.where(live, dst_pos // TILE, 0)
+    slot_tile = np.arange(slots) // TILE
+    dt = dst_tile[live]
+    st_t = slot_tile[live]
+    cap = lambda q: q * LANES - (LANES - 1)
+    _log = log or (lambda m: None)
+    last_err = None
+
+    def _fits1(G, q1):
+        c = np.bincount(st_t * G + (dt % G), minlength=1)
+        return int(c.max()) <= cap(q1)
+
+    # ---- 2-pass ----
+    for q1 in (8, 16):
+        region_tiles = (pad_tiles * q1) // LANES
+        if region_tiles > LANES or LANES % region_tiles \
+                or region_tiles % sbt:
+            continue
+        q2 = LANES // region_tiles
+        for G in range(2, 65, 2):
+            g_size = -(-F // G)
+            if not _fits1(G, q1):
+                continue
+            # pass-2 exact count: (mid tile, local final index)
+            mid = (dt % G) * region_tiles + \
+                ((st_t // sbt) * sbt * q1) // LANES
+            c2 = np.bincount(mid * g_size + (dt // G), minlength=1)
+            if int(c2.max()) > cap(q2):
+                continue
+            _log(f"2-pass attempt G={G} q1={q1}")
+            try:
+                return plan_shuffle(dst_pos, F, G, sbt=sbt, q1=q1)
+            except ValueError as e:
+                last_err = e
+
+    # ---- 3-pass ----
+    tile_live = np.bincount(st_t, minlength=pad_tiles)
+    for q1, q2 in ((8, 8), (8, 16), (16, 8), (16, 16)):
+        r1 = -(-pad_tiles * q1 // LANES)
+        r1 = -(-r1 // sbt) * sbt
+        r2 = None
+        for candr in (8, 16, 32, 64, 128):
+            if candr * LANES >= r1 * q2 and LANES % candr == 0 \
+                    and candr % sbt == 0:
+                r2 = candr
+                break
+        if r2 is None:
+            continue
+        q3 = LANES // r2
+        g1_0 = max(2, int(-(-tile_live.max() // cap(q1))))
+        for G1 in range(g1_0, 65, 2):
+            if not _fits1(G1, q1):
+                continue
+            g1v = dt % G1
+            mid_id = g1v * r1 + ((st_t // sbt) * sbt * q1) // LANES
+            c2b = int(np.bincount(mid_id, minlength=1).max())
+            G2 = None
+            for delta in (0, 2, 4, 8, 16):
+                cand = max(2, -(-c2b // cap(q2))) + delta
+                if cand > 64:
+                    break
+                if np.bincount(mid_id * cand + (dt // G1) % cand,
+                               minlength=1).max() <= cap(q2):
+                    G2 = cand
+                    break
+            if G2 is None:
+                continue
+            g3 = -(-F // (G1 * G2))
+            if g3 > 64:
+                continue
+            # level-3 exact count
+            g2v = (dt // G1) % G2
+            k3 = dt // (G1 * G2)
+            step2 = mid_id // sbt
+            spp2 = r1 // sbt
+            sub_id = ((g2v * G1 + step2 // spp2) * r2
+                      + ((step2 % spp2) * sbt * q2) // LANES)
+            c3 = np.bincount(sub_id * g3 + k3, minlength=1)
+            ok3 = int(c3.max()) <= cap(q3)
+            _log(f"3-pass q=({q1},{q2}) G=({G1},{G2},{g3}) "
+                 f"r=({r1},{r2}) level3_ok={ok3}")
+            if not ok3:
+                break  # level-3 concentration barely depends on G1/G2
+            try:
+                return plan_shuffle_multi(
+                    dst_pos, F, levels=[(G1, q1, r1), (G2, q2, r2)],
+                    sbt=sbt)
+            except ValueError as e:
+                last_err = e
+                _log(f"  -> plan failed: {e}")
+    raise ValueError(f"no feasible shuffle geometry: {last_err}")
+
+
 def _split_kernel(sbt: int, K: int, Q: int):
     def kernel(pos_ref, starts_ref, data_ref, s1_ref, s2_ref, s3_ref,
                *refs):

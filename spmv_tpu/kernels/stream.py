@@ -55,8 +55,7 @@ from spmv_tpu.kernels.shuffle import (
     TILE,
     ShufflePlan,
     apply_shuffle,
-    plan_shuffle,
-    plan_shuffle_multi,
+    plan_shuffle_auto,
     shuffle_device_arrays,
 )
 from spmv_tpu.ops.registry import register, plan_cache
@@ -364,130 +363,14 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         dst_pos[live] = dst_of_rank[rank_of_slot[live]]
         dst_tile = np.where(dst_pos >= 0, dst_pos // TILE, 0)
 
-        def _pass1_fits(G: int, q1: int) -> bool:
-            grp = (dst_tile[live] % G).astype(np.int64)
-            key = slot_tile[live] * G + grp
-            cnt = np.bincount(key, minlength=pad_tiles * G)
-            return int(cnt.max()) <= q1 * LANES - (LANES - 1)
 
-        def _round_region(need: int) -> Optional[int]:
-            for r in (8, 16, 32, 64, 128):
-                if r >= need:
-                    return r
-            return None
-
-        # 2-pass geometries (reach ~8M slots)
-        for q1 in (8, 16):
-            region_tiles = (pad_tiles * q1) // LANES
-            if region_tiles > LANES or LANES % region_tiles \
-                    or region_tiles % 8:
-                continue
-            hi = min(F, 4 * region_tiles)
-            for g_size in range(hi, 0, -1):
-                G = -(-F // g_size)
-                if G > 64:
-                    break
-                if not _pass1_fits(G, q1):
-                    continue
-                _log(f"2-pass attempt kappa={kappa} q1={q1} G={G}")
-                try:
-                    plan_sh = plan_shuffle(dst_pos, F, G, sbt=8, q1=q1)
-                    break
-                except ValueError as e:
-                    last_err = e
-            if plan_sh is not None:
-                break
-
-        # 3-pass geometries (reach ~60M slots). All three levels'
-        # quota-window counts are computed exactly in closed form
-        # before paying for a full plan (which re-validates anyway).
-        def _fits_3pass(G1, q1, r1, G2, q2, r2, g3, q3, sbt=8):
-            lv = live
-            dt = dst_tile[lv]
-            st_t = slot_tile[lv]
-            g1 = dt % G1
-            g2 = (dt // G1) % G2
-            k3 = dt // (G1 * G2)
-            cap = lambda q: q * LANES - (LANES - 1)
-            # level 1: (gather tile, g1)
-            c1 = np.bincount(st_t * G1 + g1, minlength=1)
-            if c1.max() > cap(q1):
-                return False
-            # level 2: mid tile = (g1, step1*blk1 row window)
-            blk1_rows = sbt * q1
-            step1 = st_t // sbt
-            mid_in_reg = (step1 * blk1_rows) // LANES
-            mid_id = g1 * r1 + mid_in_reg
-            c2 = np.bincount(mid_id * G2 + g2, minlength=1)
-            if c2.max() > cap(q2):
-                return False
-            # level 3: sub tile = (g2, parent-region, step2 window)
-            blk2_rows = sbt * q2
-            step2 = mid_id // sbt
-            spp2 = r1 // sbt
-            parent2 = step2 // spp2  # == g1 region index
-            s2 = step2 % spp2
-            sub_in_reg = (s2 * blk2_rows) // LANES
-            sub_id = (g2 * G1 + parent2) * r2 + sub_in_reg
-            c3 = np.bincount(sub_id * g3 + k3, minlength=1)
-            return c3.max() <= cap(q3)
-
-        if plan_sh is None:
-            cap = lambda q: q * LANES - (LANES - 1)
-            tile_live = np.bincount(slot_tile[live], minlength=pad_tiles)
-            dt = dst_tile[live]
-            st_t = slot_tile[live]
-            for q1, q2 in ((8, 8), (8, 16), (16, 8)):
-                r1 = -(-pad_tiles * q1 // LANES)
-                r1 = -(-r1 // 8) * 8
-                r2 = _round_region(-(-r1 * q2 // LANES))
-                if r2 is None or LANES % r2:
-                    continue
-                q3 = LANES // r2
-                # level 1: first G1 whose (gather tile, group) counts fit
-                G1 = None
-                g1_0 = max(2, int(-(-tile_live.max() // cap(q1))))
-                for cand in range(g1_0, 65, 2):
-                    if _pass1_fits(cand, q1):
-                        G1 = cand
-                        break
-                if G1 is None:
-                    continue
-                # level 2: first G2 whose (mid tile, group) counts fit
-                g1v = dt % G1
-                mid_id = g1v * r1 + ((st_t // 8) * 8 * q1) // LANES
-                c2b = int(np.bincount(mid_id, minlength=1).max())
-                G2 = None
-                for delta in (0, 2, 4, 8, 16):
-                    cand = max(2, -(-c2b // cap(q2))) + delta
-                    if cand > 64:
-                        break
-                    g2v = (dt // G1) % cand
-                    if np.bincount(mid_id * cand + g2v,
-                                   minlength=1).max() <= cap(q2):
-                        G2 = cand
-                        break
-                if G2 is None:
-                    continue
-                g3 = -(-F // (G1 * G2))
-                if g3 > 64:
-                    continue
-                ok3 = _fits_3pass(G1, q1, r1, G2, q2, r2, g3, q3)
-                _log(f"3-pass kappa={kappa} q=({q1},{q2}) "
-                     f"G=({G1},{G2},{g3}) r=({r1},{r2}) level3_ok={ok3}")
-                if not ok3:
-                    # the final-level concentration depends on kappa far
-                    # more than on G1/G2 — descend kappa instead
-                    break
-                try:
-                    plan_sh = plan_shuffle_multi(
-                        dst_pos, F, levels=[(G1, q1, r1), (G2, q2, r2)],
-                        sbt=8)
-                except ValueError as e:
-                    last_err = e
-                    _log(f"  -> plan failed: {e}")
-                if plan_sh is not None:
-                    break
+        try:
+            plan_sh = plan_shuffle_auto(
+                dst_pos, F, sbt=8,
+                log=(lambda m: _log(f"kappa={kappa} {m}")))
+        except ValueError as e:
+            last_err = e
+            plan_sh = None
 
         if plan_sh is not None:
             walk = (k_starts, bins, r_starts, lrows)
