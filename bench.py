@@ -19,8 +19,9 @@ def main():
     from spmv_tpu.utils.timing import benchmark_spmv
 
     n_rows = 1 << 20
-    nnz = 3_300_000  # mean ~3.1/row, power-law row skew (stream-kernel cap
-    # for the 2-pass shuffle is ~3.5M nnz; 3-pass reach is future work)
+    nnz = 3_300_000  # mean ~3.1/row, power-law row skew (the stream
+    # planner reaches ~60M nnz via the 3-pass shuffle; this size keeps
+    # plan build + bench wall-clock short)
     A = power_law_csr(n_rows, n_rows, nnz, alpha=1.5, seed=42)
     x = np.random.default_rng(0).standard_normal(n_rows).astype(np.float32)
 

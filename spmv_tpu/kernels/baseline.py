@@ -32,26 +32,16 @@ def _cpu_naive(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
     return jnp.asarray(spmv_ref_semiring(A, np.asarray(x), semiring))
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "sr_name"))
-def _xla_spmv(rows, Aj, Ax, x, n_rows: int, sr_name: str):
-    x_gather = jnp.take(x, Aj)
-    if sr_name == "plus_times":
-        prod = Ax * x_gather
-        return jax.ops.segment_sum(
-            prod, rows, num_segments=n_rows, indices_are_sorted=True
-        )
-    from spmv_tpu.ops.semiring import BUILTIN_SEMIRINGS
+# `sr` is static: user-defined semirings trace straight in (functor_t
+# analog, ref: merge_genl/agent_spmv_orig.cuh:98-124).
+@functools.partial(jax.jit, static_argnames=("n_rows", "sr"))
+def _xla_spmv(rows, Aj, Ax, x, n_rows: int, sr: Semiring):
+    from spmv_tpu.ops.semiring import segment_reduce_sorted
 
-    sr = BUILTIN_SEMIRINGS[sr_name]
+    x_gather = jnp.take(x, Aj)
     prod = sr.combine(Ax, x_gather)
-    if sr_name == "min_plus":
-        return jax.ops.segment_min(
-            prod, rows, num_segments=n_rows, indices_are_sorted=True
-        )
-    # max_times / or_and both reduce with max.
-    return jax.ops.segment_max(
-        prod, rows, num_segments=n_rows, indices_are_sorted=True
-    )
+    ident = float(sr.identity_for(prod.dtype))
+    return segment_reduce_sorted(prod, rows, n_rows, sr, ident)
 
 
 @register("xla", supports_semiring=True, reference_analog="cusparse.cuh:36-89",
@@ -63,21 +53,8 @@ def _xla(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
         "Aj": jnp.asarray(np.asarray(A.Aj)),
         "Ax": jnp.asarray(np.asarray(A.Ax)),
     })
-    from spmv_tpu.ops.semiring import BUILTIN_SEMIRINGS
-
-    if semiring.name not in BUILTIN_SEMIRINGS:
-        # Generic semirings: unfused reduce via reduce_array over padded
-        # rows would be wasteful here; defer to merge_genl for those.
-        raise ValueError("kind 'xla' supports built-in semirings only")
-    y = _xla_spmv(plan["rows"], plan["Aj"], plan["Ax"], jnp.asarray(x),
-                  n_rows=A.n_rows, sr_name=semiring.name)
-    if semiring.name != "plus_times":
-        # Identity participates in every row reduction (oracle
-        # semantics, ref: cpu_navie.hpp:20-35); this also fixes empty
-        # rows, which segment_min/max fill with ±inf.
-        ident = float(semiring.identity_for(y.dtype))
-        y = semiring.reduce(y, jnp.full_like(y, ident))
-    return y
+    return _xla_spmv(plan["rows"], plan["Aj"], plan["Ax"], jnp.asarray(x),
+                     n_rows=A.n_rows, sr=semiring)
 
 
 @register("dense", reference_analog="(none; sanity baseline)")

@@ -163,18 +163,17 @@ def _group_reduce_kernel(sr: Semiring, identity: float, W: int, strategy: str):
     return kernel
 
 
+# `sr` is static: any user-defined Semiring object traces straight in
+# (the functor_t analog, ref: merge_genl/agent_spmv_orig.cuh:98-124).
 @functools.partial(
     jax.jit,
-    static_argnames=("sr_name", "W", "Tv", "V", "n_rows", "strategy", "interpret", "val_dtype"),
+    static_argnames=("sr", "W", "Tv", "V", "n_rows", "strategy", "interpret", "val_dtype"),
 )
 def _ell_spmv_device(
     aj, ax, valid, vrow_row, x,
-    *, sr_name: str, W: int, Tv: int, V: int, n_rows: int,
+    *, sr: Semiring, W: int, Tv: int, V: int, n_rows: int,
     strategy: str, interpret: bool, val_dtype,
 ):
-    from spmv_tpu.ops.semiring import BUILTIN_SEMIRINGS
-
-    sr = BUILTIN_SEMIRINGS[sr_name]
     identity = float(sr.identity_for(np.dtype(val_dtype)))
     G = LANES // W
 
@@ -197,31 +196,23 @@ def _ell_spmv_device(
         interpret=interpret,
     )(prod)
 
-    # Phase C (XLA): leaders -> chunk values -> per-row combine.
+    # Phase C (XLA): leaders -> chunk values -> per-row combine (sorted
+    # segment reduce; generic semirings via associative_scan — see
+    # ops/semiring.segment_reduce_sorted).
+    from spmv_tpu.ops.semiring import segment_reduce_sorted
+
     y_vrow = reduced.reshape(Tv * SUBLANES, LANES)[:, ::W].reshape(-1)[:V]
-    if sr_name == "plus_times":
-        return jax.ops.segment_sum(y_vrow, vrow_row, num_segments=n_rows,
-                                   indices_are_sorted=True)
-    if sr_name == "min_plus":
-        y = jax.ops.segment_min(y_vrow, vrow_row, num_segments=n_rows,
-                                indices_are_sorted=True)
-    else:
-        y = jax.ops.segment_max(y_vrow, vrow_row, num_segments=n_rows,
-                                indices_are_sorted=True)
-    # Identity participates in every row reduction (oracle semantics,
-    # ref: cpu_navie.hpp:20-35); also normalizes ±inf fill of rows not
-    # present in this packing (binned subsets).
-    return sr.reduce(y, jnp.full_like(y, identity))
+    return segment_reduce_sorted(y_vrow, vrow_row, n_rows, sr, identity)
 
 
 def ell_spmv(A: CSR, x, semiring: Semiring, plan: EllPlan, strategy: str):
+    from spmv_tpu.ops.registry import resolve_val_dtype
+
     x = jnp.asarray(x)
-    val_dtype = jnp.result_type(np.asarray(A.Ax).dtype, x.dtype)
-    if val_dtype == jnp.float64 and not jax.config.jax_enable_x64:
-        val_dtype = jnp.float32
+    val_dtype = resolve_val_dtype(A, x)
     return _ell_spmv_device(
         plan.aj, plan.ax, plan.valid, plan.vrow_row, x,
-        sr_name=semiring.name, W=plan.width, Tv=plan.n_tiles,
+        sr=semiring, W=plan.width, Tv=plan.n_tiles,
         V=plan.n_vrows, n_rows=A.n_rows, strategy=strategy,
         interpret=config.use_interpret(), val_dtype=np.dtype(val_dtype),
     )

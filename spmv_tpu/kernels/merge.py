@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spmv_tpu import config
 from spmv_tpu.formats import CSR
-from spmv_tpu.ops.registry import register, plan_cache
+from spmv_tpu.ops.registry import register, plan_cache, resolve_val_dtype
 from spmv_tpu.ops.semiring import Semiring, PLUS_TIMES
 from spmv_tpu.kernels.pallas_utils import (
     LANES,
@@ -279,18 +279,19 @@ def _merge_tile_kernel(sr: Semiring, identity: float, S: int, P: int):
     return kernel
 
 
+# `sr` is static: Semiring is a frozen dataclass, so user-defined
+# semiring objects key the jit cache and their callables trace straight
+# into the kernel — the functor_t analog
+# (ref: merge_genl/agent_spmv_orig.cuh:98-124).
 @functools.partial(
     jax.jit,
-    static_argnames=("sr_name", "n_rows", "T", "S", "P", "interpret", "val_dtype"),
+    static_argnames=("sr", "n_rows", "T", "S", "P", "interpret", "val_dtype"),
 )
 def _merge_spmv_device(
     aj_tiles, ax_tiles, rel_tiles, pend_tiles, r_start, lrow, cnt, owner_idx, x,
-    *, sr_name: str, n_rows: int, T: int, S: int, P: int, interpret: bool,
+    *, sr: Semiring, n_rows: int, T: int, S: int, P: int, interpret: bool,
     val_dtype,
 ):
-    from spmv_tpu.ops.semiring import BUILTIN_SEMIRINGS
-
-    sr = BUILTIN_SEMIRINGS[sr_name]
     EN = S * LANES
     RW = P * LANES
     identity = float(sr.identity_for(np.dtype(val_dtype)))
@@ -340,14 +341,8 @@ def _merge_spmv_device(
 
 
 def _merge_impl(A: CSR, x, semiring: Semiring, policy: MergePolicy):
-    if semiring.name not in ("plus_times", "min_plus", "max_times", "or_and"):
-        raise ValueError(
-            f"merge kernels support the built-in semirings; got {semiring.name!r}"
-        )
     x = jnp.asarray(x)
-    val_dtype = jnp.result_type(jnp.asarray(np.asarray(A.Ax)[:0]), x.dtype)
-    if val_dtype == jnp.float64:
-        val_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    val_dtype = resolve_val_dtype(A, x)
     ident = float(semiring.identity_for(np.dtype(val_dtype)))
     if A.nnz == 0 or A.n_cols == 0:
         return jnp.full((A.n_rows,), ident, dtype=val_dtype)
@@ -359,7 +354,7 @@ def _merge_impl(A: CSR, x, semiring: Semiring, policy: MergePolicy):
     return _merge_spmv_device(
         plan.aj_tiles, plan.ax_tiles, plan.rel_tiles, plan.pend_tiles,
         plan.r_start, plan.lrow, plan.cnt, plan.owner_idx, x,
-        sr_name=semiring.name, n_rows=A.n_rows, T=plan.n_tiles, S=S, P=P,
+        sr=semiring, n_rows=A.n_rows, T=plan.n_tiles, S=S, P=P,
         interpret=config.use_interpret(), val_dtype=np.dtype(val_dtype),
     )
 
@@ -381,5 +376,10 @@ def _merge_stock(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
 @register("merge_genl", supports_semiring=True,
           reference_analog="merge_genl/* (merge_genl.cuh:41-80)")
 def _merge_genl(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
-    """Semiring-generalized merge-path SpMV (ref: include/spmv/merge_genl/*)."""
+    """Semiring-generalized merge-path SpMV: the generic-path entry for
+    ARBITRARY user Semiring objects (initialize/combine/reduce traced
+    into products, scans, carries and the fixup fold — the functor_t
+    reach of ref: include/spmv/merge_genl/agent_spmv_orig.cuh:98-124).
+    Uses a genericity-tolerant policy; `merge` is the (+,x)-tuned
+    registration."""
     return _merge_impl(A, x, semiring, TUNED_POLICY)

@@ -182,7 +182,6 @@ def plan_shuffle_multi(dst_pos: np.ndarray, n_final_tiles: int,
     F = int(n_final_tiles)
     if dst_pos.size and dst_pos.max() >= F * TILE:
         raise ValueError("dst_pos out of range")
-    dst_tile = np.where(dst_pos >= 0, dst_pos // TILE, -1)
 
     Gs = [int(g) for g, _, _ in levels]
     prodG = 1
@@ -205,9 +204,8 @@ def plan_shuffle_multi(dst_pos: np.ndarray, n_final_tiles: int,
         if need_rows > r_tiles * LANES:
             raise ValueError(
                 f"region_tiles={r_tiles} too small for {need_rows} quota rows")
-        grp = np.where(dst_tile >= 0, (dst_tile // radix) % G, 0)
-        # map group id through the simulated layout: grp is defined on
-        # FINAL tiles; cur holds dst positions, so recompute per slot
+        # group id is defined on FINAL tiles; cur holds dst positions,
+        # so compute it per slot from the simulated layout
         grp_slot = np.where(cur >= 0, ((cur // TILE) // radix) % G, 0)
         region_elems = r_tiles * TILE
         nreg_out = nreg * G

@@ -27,7 +27,7 @@ import numpy as np
 
 from spmv_tpu.formats import CSR
 from spmv_tpu.kernels.stream import _stream_spmv, DEFAULT_POLICY
-from spmv_tpu.ops.registry import plan_cache
+from spmv_tpu.ops.registry import plan_cache, PlanCapacityError
 from spmv_tpu.ops.semiring import Semiring, PLUS_TIMES
 
 LANES = 128
@@ -54,8 +54,11 @@ def _kron_expand(A: CSR) -> CSR:
                      reps)
     Aj2 = Aj[src] * LANES + c_of
     Ax2 = Ax[src]
+    # expanded columns reach n_cols*128: keep int64 when int32 would wrap
+    idx_dtype = (np.int32 if A.n_cols * LANES <= np.iinfo(np.int32).max
+                 else np.int64)
     return CSR(A.n_rows * LANES, A.n_cols * LANES,
-               Ap2.astype(np.int64), Aj2.astype(np.int32),
+               Ap2.astype(np.int64), Aj2.astype(idx_dtype),
                Ax2.astype(Ax.dtype))
 
 
@@ -66,9 +69,13 @@ def spmm_stream(A: CSR, X, semiring: Semiring = PLUS_TIMES) -> jax.Array:
         raise ValueError(f"X must be (n_cols, B); got {X.shape}")
     B = X.shape[1]
     Bp = -(-B // LANES) * LANES
+    # capacity check BEFORE building/caching the 128x expansion — a
+    # matrix moderately over the cap must fall back cleanly, not OOM
+    # allocating tens of GB of expanded plan first
+    if A.nnz * LANES > 64_000_000:
+        raise PlanCapacityError(
+            "matrix too large for the stream SpMM path")
     Ak: CSR = plan_cache(A, "spmm_kron", lambda: _kron_expand(A))
-    if Ak.nnz > 64_000_000:
-        raise ValueError("matrix too large for the stream SpMM path")
     Xp = jnp.pad(X, ((0, 0), (0, Bp - B)))
     outs = []
     for vb in range(Bp // LANES):
@@ -86,22 +93,13 @@ def spmm_xla(A: CSR, X, semiring: Semiring = PLUS_TIMES) -> jax.Array:
         "Aj": jnp.asarray(np.asarray(A.Aj)),
         "Ax": jnp.asarray(np.asarray(A.Ax)),
     })
+    from spmv_tpu.ops.semiring import segment_reduce_sorted
+
     xg = jnp.take(X, plan["Aj"], axis=0)
     prod = semiring.combine(plan["Ax"][:, None], xg)
-    if semiring.name == "plus_times":
-        y = jax.ops.segment_sum(prod, plan["rows"],
-                                num_segments=A.n_rows,
-                                indices_are_sorted=True)
-    elif semiring.name == "min_plus":
-        y = jax.ops.segment_min(prod, plan["rows"],
-                                num_segments=A.n_rows,
-                                indices_are_sorted=True)
-    else:
-        y = jax.ops.segment_max(prod, plan["rows"],
-                                num_segments=A.n_rows,
-                                indices_are_sorted=True)
-    ident = semiring.identity_for(y.dtype)
-    return semiring.reduce(y, jnp.full_like(y, ident))
+    ident = float(semiring.identity_for(prod.dtype))
+    return segment_reduce_sorted(prod, plan["rows"], A.n_rows, semiring,
+                                 ident)
 
 
 def spmm(A: CSR, X, semiring: Semiring = PLUS_TIMES,
@@ -111,11 +109,18 @@ def spmm(A: CSR, X, semiring: Semiring = PLUS_TIMES,
     method: 'stream' (Pallas pipeline over the Kronecker expansion),
     'xla', or 'auto' (stream when the planner can reach the matrix,
     else xla)."""
+    X = jnp.asarray(X)
+    # validate once here so the auto fallback below only ever fires on
+    # planner-capacity errors, never on user shape mistakes (which
+    # spmm_xla would silently clamp-gather into plausible garbage)
+    if X.ndim != 2 or X.shape[0] != A.n_cols:
+        raise ValueError(f"X must be (n_cols, B) = ({A.n_cols}, B); "
+                         f"got {X.shape}")
     if method == "xla":
         return spmm_xla(A, X, semiring)
     if method == "stream":
         return spmm_stream(A, X, semiring)
     try:
         return spmm_stream(A, X, semiring)
-    except ValueError:
+    except PlanCapacityError:
         return spmm_xla(A, X, semiring)

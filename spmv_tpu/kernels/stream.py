@@ -58,7 +58,12 @@ from spmv_tpu.kernels.shuffle import (
     plan_shuffle_auto,
     shuffle_device_arrays,
 )
-from spmv_tpu.ops.registry import register, plan_cache
+from spmv_tpu.ops.registry import (
+    register,
+    plan_cache,
+    PlanCapacityError,
+    resolve_val_dtype,
+)
 from spmv_tpu.ops.routing import route_tiles
 from spmv_tpu.ops.semiring import Semiring, PLUS_TIMES
 
@@ -78,7 +83,7 @@ class StreamPlan:
     n_final_tiles: int
     layers: int
     x_rows_pad: int          # rows of padded x2d before augmentation
-    hot_cols: np.ndarray     # (n_aug,) column index replicated per aug row
+    hot_cols: jax.Array      # (n_aug,) column index replicated per aug row
     # device arrays
     gather: dict             # Ax, q, xb
     shuffle: ShufflePlan
@@ -311,7 +316,7 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
 
     # pad gather tiles to a shuffle-friendly size (multiple of 128)
     if n_gather_tiles > 4096:
-        raise ValueError(
+        raise PlanCapacityError(
             f"matrix too large for the shuffle planner: {n_gather_tiles} "
             f"gather tiles > 4096 (~60M nnz); use kind 'merge'/'xla'")
     pad_tiles = max(128, -(-n_gather_tiles // 128) * 128)
@@ -328,7 +333,6 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     # tile) share. A cheap exact count check prunes infeasible
     # combinations before the expensive full plan (which still
     # validates pass 2 exactly and raises on overflow).
-    slot_tile = np.arange(slot_src.shape[0]) // TILE
     rank_of_slot = slot_src  # CSR order IS row-sorted rank order
     live = rank_of_slot >= 0
 
@@ -361,8 +365,6 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
                        + (np.arange(nnz) - k_starts[ftile_of_rank]))
         dst_pos = np.full(slot_src.shape[0], -1, dtype=np.int64)
         dst_pos[live] = dst_of_rank[rank_of_slot[live]]
-        dst_tile = np.where(dst_pos >= 0, dst_pos // TILE, 0)
-
 
         try:
             plan_sh = plan_shuffle_auto(
@@ -413,8 +415,7 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     return StreamPlan(
         n_gather_tiles=pad_tiles, n_final_tiles=F, layers=1,
         x_rows_pad=x_rows_pad,
-        hot_cols=jnp.asarray(hot_cols.astype(np.int32))
-        if hot_cols.size else np.empty(0, np.int32),
+        hot_cols=jnp.asarray(hot_cols.astype(np.int32)),
         gather=gather_dev, shuffle=plan_sh,
         shuffle_dev=shuffle_device_arrays(plan_sh),
         scan=scan_dev, touched_bins=jnp.asarray(touched), n_bins=n_bins)
@@ -492,12 +493,14 @@ def _scan_kernel(sr: Semiring, identity: float):
 # Device dispatch
 # ---------------------------------------------------------------------------
 
+# `sr` is a static argument: Semiring is a frozen dataclass, so any
+# user-defined semiring object (reused across calls) keys the jit cache
+# and its callables are traced straight into the kernel — the TPU
+# analog of the reference's functor_t template parameter
+# (ref: merge_genl/agent_spmv_orig.cuh:98-124).
 @functools.partial(jax.jit, static_argnames=(
-    "sr_name", "sbt", "n_tiles", "interpret"))
-def _gather_pass(x2d, ax, q, xb, *, sr_name, sbt, n_tiles, interpret):
-    from spmv_tpu.ops.semiring import BUILTIN_SEMIRINGS
-
-    sr = BUILTIN_SEMIRINGS[sr_name]
+    "sr", "sbt", "n_tiles", "interpret"))
+def _gather_pass(x2d, ax, q, xb, *, sr: Semiring, sbt, n_tiles, interpret):
     identity = float(sr.identity_for(ax.dtype))
     n_steps = n_tiles // sbt
 
@@ -524,13 +527,10 @@ def _gather_pass(x2d, ax, q, xb, *, sr_name, sbt, n_tiles, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sr_name", "F", "n_bins", "interpret"))
+    "sr", "F", "n_bins", "interpret"))
 def _scan_pass(prod_fin, cid, r1s1, r1s2, r1s3, rel2, r2s1, r2s2, r2s3,
-               valid2, bins, first_touch, *, sr_name, F,
+               valid2, bins, first_touch, *, sr: Semiring, F,
                n_bins, interpret):
-    from spmv_tpu.ops.semiring import BUILTIN_SEMIRINGS
-
-    sr = BUILTIN_SEMIRINGS[sr_name]
     identity = float(sr.identity_for(prod_fin.dtype))
     P = BIN_ROWS // LANES
 
@@ -555,13 +555,8 @@ def _scan_pass(prod_fin, cid, r1s1, r1s2, r1s3, rel2, r2s1, r2s2, r2s3,
 
 
 def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
-    if semiring.name not in ("plus_times", "min_plus", "max_times", "or_and"):
-        raise ValueError(
-            f"stream supports the built-in semirings; got {semiring.name!r}")
     x = jnp.asarray(x)
-    val_dtype = jnp.result_type(np.asarray(A.Ax)[:0], x.dtype)
-    if val_dtype == jnp.float64 and not jax.config.jax_enable_x64:
-        val_dtype = jnp.float32
+    val_dtype = resolve_val_dtype(A, x)
     ident = float(semiring.identity_for(np.dtype(val_dtype)))
     if A.nnz == 0 or A.n_cols == 0:
         return jnp.full((A.n_rows,), ident, dtype=val_dtype)
@@ -582,7 +577,7 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
 
     prod = _gather_pass(
         x2d, plan.gather["Ax"].astype(val_dtype), plan.gather["q"],
-        plan.gather["xb"], sr_name=semiring.name, sbt=8,
+        plan.gather["xb"], sr=semiring, sbt=8,
         n_tiles=plan.n_gather_tiles, interpret=interp)
 
     prod_fin = apply_shuffle(prod, plan.shuffle, plan.shuffle_dev)
@@ -592,7 +587,7 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
         prod_fin, plan.scan["cid"], plan.scan["r1s1"], plan.scan["r1s2"],
         plan.scan["r1s3"], plan.scan["rel2"], plan.scan["r2s1"],
         plan.scan["r2s2"], plan.scan["r2s3"], plan.scan["valid2"],
-        plan.scan["bins"], plan.scan["first_touch"], sr_name=semiring.name,
+        plan.scan["bins"], plan.scan["first_touch"], sr=semiring,
         F=plan.n_final_tiles, n_bins=plan.n_bins, interpret=interp)
 
     y3 = y2d.reshape(plan.n_bins, BIN_ROWS)

@@ -31,6 +31,32 @@ from spmv_tpu.formats import CSR
 from spmv_tpu.ops.semiring import Semiring, PLUS_TIMES
 
 
+class PlanCapacityError(ValueError):
+    """A kernel's plan-time layout cannot reach this matrix (size or
+    geometry); callers may fall back to another kind. Distinct from
+    user errors (bad shapes/dtypes), which raise plain ValueError."""
+
+
+def resolve_val_dtype(A: CSR, x) -> np.dtype:
+    """Compute dtype of the product stream: result_type(Ax, x).
+
+    fp64 without jax_enable_x64 raises loudly instead of silently
+    degrading — the reference's mat_value_t contract computes in the
+    requested type or fails (ref: include/spmv.h:29-34)."""
+    import jax
+
+    # x may be a tracer (kernels are called under jit): use dtype only.
+    x_dtype = getattr(x, "dtype", None) or np.asarray(x).dtype
+    val = np.promote_types(np.asarray(A.Ax).dtype, np.dtype(x_dtype))
+    if val == np.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "float64 SpMV requested but jax_enable_x64 is off; enable it "
+            "(jax.config.update('jax_enable_x64', True)) or cast A/x to "
+            "float32"
+        )
+    return np.dtype(val)
+
+
 @dataclasses.dataclass
 class KernelEntry:
     name: str
@@ -108,12 +134,15 @@ def spmv(
     A: CSR,
     x,
     semiring: Optional[Semiring] = None,
+    y_dtype=None,
 ):
     """Uniform dispatch: y = A ⊗ x with the named kernel.
 
     Mirrors SpMV(kind_str, ...) (ref: spmv.h:29-48). `semiring=None`
     means the plain (+,×) ring; passing a semiring to a kernel that
-    does not support one raises.
+    does not support one raises. `y_dtype` selects the output dtype
+    independently of the compute dtype (the vec_y_value_t analog,
+    ref: spmv.h:29-34); None keeps the compute dtype.
     """
     entry = get_kernel(kind)
     sr = semiring if semiring is not None else PLUS_TIMES
@@ -126,10 +155,13 @@ def spmv(
     x = jnp.asarray(x)
     if x.shape != (A.n_cols,):
         raise ValueError(f"x has shape {x.shape}, expected ({A.n_cols},)")
-    return entry.fn(A, x, semiring=sr)
+    y = entry.fn(A, x, semiring=sr)
+    if y_dtype is not None and y.dtype != jnp.dtype(y_dtype):
+        y = y.astype(y_dtype)
+    return y
 
 
-def SpMV(kind, n_rows, n_cols, nnz, Ap, Aj, Ax, x, semiring=None):
+def SpMV(kind, n_rows, n_cols, nnz, Ap, Aj, Ax, x, semiring=None, y_dtype=None):
     """Reference-signature shim (ref: spmv.h:29-34, README.md:32-38).
 
     SpMV(kind, n_rows, n_cols, nnz, Ap, Aj, Ax, x) -> y. Provided so a
@@ -145,4 +177,4 @@ def SpMV(kind, n_rows, n_cols, nnz, Ap, Aj, Ax, x, semiring=None):
     if Aj.shape != (int(nnz),) or Ax.shape != (int(nnz),):
         raise ValueError("Aj/Ax must have shape (nnz,)")
     A = CSR(int(n_rows), int(n_cols), Ap, Aj, Ax)
-    return spmv(kind, A, x, semiring=semiring)
+    return spmv(kind, A, x, semiring=semiring, y_dtype=y_dtype)

@@ -102,15 +102,75 @@ MAX_TIMES = Semiring(
     reduce=lambda acc, v: jnp.maximum(acc, v),
 )
 
-# Boolean (or, and): reachability. Represented on floats/ints as
-# max/min of {0, 1} so one code path serves all dtypes.
+# Boolean (or, and): reachability. Genuinely boolean on ANY data:
+# combine = (a != 0) AND (x != 0) -> {0, 1} in the value dtype, reduce
+# = OR (max over {0, 1}); arbitrary nonzero inputs are truthy rather
+# than silently mis-combined by min/max arithmetic.
+def _or_and_combine(a, x):
+    t = (a != 0) & (x != 0)
+    dt = np.result_type(getattr(a, "dtype", type(a)),
+                        getattr(x, "dtype", type(x)))
+    # select rather than i1-cast: Mosaic supports vector selects
+    # everywhere but not every bool->value cast.
+    return jnp.where(t, jnp.ones((), dt), jnp.zeros((), dt))
+
+
 OR_AND = Semiring(
     name="or_and",
     initialize=lambda: 0.0,
-    combine=lambda a, x: jnp.minimum(a, x),
+    combine=_or_and_combine,
     reduce=lambda acc, v: jnp.maximum(acc, v),
 )
 
 BUILTIN_SEMIRINGS = {
     s.name: s for s in (PLUS_TIMES, MIN_PLUS, MAX_TIMES, OR_AND)
 }
+
+
+def segment_reduce_sorted(vals, seg, n_segments: int, sr: Semiring,
+                          identity):
+    """Reduce `vals` over sorted segment ids with semiring `sr.reduce`.
+
+    vals: (n,) or (n, B); seg: (n,) non-decreasing int ids < n_segments.
+    Segments absent from `seg` yield `identity`. Built-in semirings map
+    to native XLA segment reductions; arbitrary user semirings run a
+    segmented `associative_scan` and pick each segment's last element —
+    the generic path the reference reaches with its functor_t template
+    + AtomicReduce CAS (ref: merge_genl/agent_segment_fixup.cuh:56-86).
+    """
+    import jax
+
+    if seg.shape[0] == 0:
+        shape = (n_segments,) + tuple(vals.shape[1:])
+        return jnp.full(shape, identity, vals.dtype)
+    if sr.name == "plus_times":
+        return jax.ops.segment_sum(
+            vals, seg, num_segments=n_segments, indices_are_sorted=True)
+    if sr.name in ("min_plus", "min_times", "min_max"):
+        y = jax.ops.segment_min(
+            vals, seg, num_segments=n_segments, indices_are_sorted=True)
+    elif sr.name in ("max_times", "max_plus", "max_min", "or_and"):
+        y = jax.ops.segment_max(
+            vals, seg, num_segments=n_segments, indices_are_sorted=True)
+    else:
+        def op(a, b):
+            va, sa = a
+            vb, sb = b
+            same = sa == sb
+            if vals.ndim == 2:
+                same = same[..., None]
+            return jnp.where(same, sr.reduce(va, vb), vb), sb
+
+        scanned, _ = jax.lax.associative_scan(op, (vals, seg), axis=0)
+        n = seg.shape[0]
+        is_last = jnp.concatenate(
+            [seg[1:] != seg[:-1], jnp.ones((1,), bool)])
+        # non-last positions scatter into a junk slot (n_segments)
+        idx = jnp.where(is_last, seg, n_segments)
+        shape = (n_segments + 1,) + tuple(vals.shape[1:])
+        y = jnp.full(shape, identity, vals.dtype)
+        return y.at[idx].set(scanned)[:n_segments]
+    # segment_min/max fill absent segments with ±inf: fold the identity
+    # into every row (also the oracle's acc = initialize() semantics,
+    # ref: cpu_navie.hpp:20-35)
+    return sr.reduce(y, jnp.full_like(y, identity))
