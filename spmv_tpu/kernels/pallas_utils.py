@@ -177,6 +177,30 @@ def gather_flat(v, idx, identity):
     return out
 
 
+def batched_transpose(a):
+    """Per-(128,128)-tile transpose of a stacked (nt*128, 128) array."""
+    nt = a.shape[0] // LANES
+    if nt == 1:
+        return a.T
+    return jnp.concatenate(
+        [a[i * LANES:(i + 1) * LANES, :].T for i in range(nt)], axis=0)
+
+
+def route3_batched(v, s1, s2, s3):
+    """3-stage tile routing (ops/routing.py decomposition) over nt
+    stacked (128,128) tiles with BATCHED lane gathers: one
+    (nt*128, 128) take_along_axis costs ~3.5x less per tile than nt
+    separate gathers (measured, scripts/probe_tile_ops.py) because the
+    per-op issue overhead amortizes. Transposes stay per-tile (they
+    must not cross tile boundaries); gathers are row-local so batching
+    is exact."""
+    a = jnp.take_along_axis(v, s1.astype(jnp.int32), axis=1)
+    a = batched_transpose(a)
+    a = jnp.take_along_axis(a, s2.astype(jnp.int32), axis=1)
+    a = batched_transpose(a)
+    return jnp.take_along_axis(a, s3.astype(jnp.int32), axis=1)
+
+
 def masked_reduce_scalar(v, mask, reduce_array_fn, identity):
     """Reduce the elements of v where mask holds, to a scalar."""
     masked = jnp.where(mask, v, identity)

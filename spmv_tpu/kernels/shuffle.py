@@ -366,19 +366,14 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
 
 
 def _split_kernel(sbt: int, K: int, Q: int):
+    from spmv_tpu.kernels.pallas_utils import route3_batched
+
     def kernel(pos_ref, starts_ref, data_ref, s1_ref, s2_ref, s3_ref,
                *refs):
         del pos_ref  # consumed by the output index maps
         out_refs, scratch = refs[:-1], refs[-1]
-        for j in range(sbt):
-            tile = data_ref[j * LANES:(j + 1) * LANES, :]
-            i1 = s1_ref[j * LANES:(j + 1) * LANES, :].astype(jnp.int32)
-            i2 = s2_ref[j * LANES:(j + 1) * LANES, :].astype(jnp.int32)
-            i3 = s3_ref[j * LANES:(j + 1) * LANES, :].astype(jnp.int32)
-            a = jnp.take_along_axis(tile, i1, axis=1).T
-            a = jnp.take_along_axis(a, i2, axis=1).T
-            scratch[j * LANES:(j + 1) * LANES, :] = \
-                jnp.take_along_axis(a, i3, axis=1)
+        scratch[...] = route3_batched(
+            data_ref[...], s1_ref[...], s2_ref[...], s3_ref[...])
         r = pl.program_id(0) % 8  # row of this step within the (8, W) block
         srow = starts_ref[pl.ds(r, 1), :]
         for k in range(K):

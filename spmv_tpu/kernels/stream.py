@@ -72,7 +72,7 @@ BIN_ROWS = 8192  # y rows per output bin (one (64,128) block of y2d)
 
 @dataclasses.dataclass(frozen=True)
 class StreamPolicy:
-    kappa: int = 12288       # live nnz per final tile (scan EN)
+    kappa: int = 14336       # live nnz per final tile (scan EN)
     hot_threshold: int = 2048  # column count to qualify for replication
     gather_sbt: int = 8      # gather tiles per grid step
 
@@ -216,6 +216,9 @@ def _final_tile_walk(Ap: np.ndarray, row_ids: np.ndarray, kappa: int):
             np.asarray(r_starts, np.int32), np.asarray(lrows, np.int32))
 
 
+HALF = TILE // 2  # flat boundary between the C and P route-1 halves
+
+
 def _plan_scan(plan_sh: ShufflePlan, k_starts, bins, r_starts, lrows,
                row_ids):
     """Build per-final-tile scan streams from the simulated shuffle
@@ -225,21 +228,46 @@ def _plan_scan(plan_sh: ShufflePlan, k_starts, bins, r_starts, lrows,
     so per-slot segment ids must be a MONOTONIC chunk id (cid): one id
     per maximal run of equal row in slot order; junk slots carry the
     previous cid + 16384 (the kernel masks them to the identity but the
-    segment bridges the gap). Two in-register routings finish the job:
+    segment bridges the gap).
 
-    1. route1 gathers the chunk-end scan values into a REL-SORTED
-       compact prefix; a second segmented scan (by rel, stream rel2)
-       merges same-row chunks.
-    2. route2 gathers each row's final total (at its last chunk
-       position) into the rel-addressed (BIN_ROWS/128, 128) y window.
+    In-register routings finish the job; one stream set serves BOTH
+    scan kernels (the generic roll/segmented-scan path and the
+    plus_times MXU prefix-difference path). Every route is built so no
+    source slot feeds more than ~2 flows — the 128-edge Konig cap in
+    ops/routing.py is structural, not probabilistic:
+
+    1. route1C gathers, for each chunk c (REL-SORTED compact order at
+       spread positions p_i = 1 + i*stride, stride a power of two),
+       the scan/cumsum value at c's END slot. route1P (diff path only)
+       gathers the value at the END slot of c's SLOT-ORDER predecessor
+       (each end slot is predecessor of exactly one chunk). The diff
+       path computes chunk totals D = C - P on the chunk mask
+       ((ci-1) & (stride-1) == 0, ci in [1, 1+E*stride)) — P of the
+       slot-order-first chunk is zeroed via `first_idx` — then a
+       second flat cumsum Q. The generic path instead runs a
+       segmented scan over C keyed by `rel2` (junk-flagged gaps).
+    2. route2 is two-half: flat [0, 8192) holds each present rel's
+       LAST-chunk position (A_end), flat [8192, 16384) the previous
+       present rel's (A_prev; sentinel position 0 = compact gap with
+       Q=0 for the first). Row totals: diff path
+       y = valid2 ? A_end - A_prev : 0; generic path uses the A_end
+       half of the scan-2 values, masked by valid2.
+
+    Requires E+1 <= HALF chunks per tile; raises ValueError otherwise
+    (the kappa search retries with smaller tiles).
     """
     F = k_starts.shape[0] - 1
     P = BIN_ROWS // LANES
     cid_s = np.zeros((F, TILE), dtype=np.int16)
     rel2_s = np.zeros((F, TILE), dtype=np.int16)
-    src1 = np.full((F, LANES, LANES), -1, dtype=np.int32)
+    src1c = np.full((F, LANES, LANES), -1, dtype=np.int32)
+    src1p = np.full((F, LANES, LANES), -1, dtype=np.int32)
     src2 = np.full((F, LANES, LANES), -1, dtype=np.int32)
     valid2 = np.zeros((F, P, LANES), dtype=np.int8)
+    first_idx = np.zeros(F, dtype=np.int32)
+    cmask = np.zeros(F, dtype=np.int32)   # stride - 1 (stride pow2)
+    climit = np.zeros(F, dtype=np.int32)  # 1 + E * stride
+    fuse_ok = True  # C+P as one route (cheaper) when degrees permit
     for f in range(F):
         a, b = int(k_starts[f]), int(k_starts[f + 1])
         d = np.arange(a, b) - a + f * TILE
@@ -271,32 +299,74 @@ def _plan_scan(plan_sh: ShufflePlan, k_starts, bins, r_starts, lrows,
             out[:] = np.where(lm, filled, filled + 16384).astype(np.int16)
 
         _fill_stream(cid, ls, cid_s[f])
-        # chunk ends (last slot of each cid)
+        # chunk ends (last slot of each cid), in slot order
         is_end = np.ones(ls.shape[0], dtype=bool)
         if ls.size > 1:
             is_end[:-1] = cid[:-1] != cid[1:]
         epos, erel = ls[is_end], rs[is_end]
-        # route1: compact rel-sorted prefix
-        eorder = np.argsort(erel, kind="stable")
         E = epos.shape[0]
-        src1[f].reshape(-1)[:E] = epos[eorder]
+        if E + 1 > HALF:
+            raise ValueError(
+                f"scan capacity: {E} chunks in tile {f} exceed {HALF - 1}")
+        # Compact layout: chunk i (rel-sorted) sits at flat position
+        # p_i = 1 + i*stride (stride = power of two, so the kernel's
+        # chunk mask is a bitwise AND); position 0 and the gaps carry
+        # no route edges and are masked to D=0 in the kernel. The
+        # stride SPREADS compact positions across sublanes so small-E
+        # tiles don't concentrate route-2 sources on one source row.
+        eorder = np.argsort(erel, kind="stable")
+        stride = 1
+        while stride * 2 * (E + 1) <= HALF - 1:
+            stride *= 2
+        p = 1 + np.arange(E) * stride
+        cmask[f] = stride - 1
+        climit[f] = 1 + E * stride
+        src1c[f].reshape(-1)[p] = epos[eorder]
+        prev_idx = np.maximum(eorder - 1, 0)
+        src1p[f].reshape(-1)[p] = epos[prev_idx]
+        # C+P can share ONE route iff no source row exceeds the
+        # 128-edge Konig cap with both halves' edges counted
+        # (dedup by (source slot, dest row)).
+        pairs = np.concatenate([
+            (epos[eorder] << 8) + (p // LANES),
+            (epos[prev_idx] << 8) + (P + p // LANES)])
+        srcrow = np.unique(pairs) >> 15  # slot>>7 -> row, slot<<8: >>15
+        if srcrow.size and np.bincount(srcrow).max() > LANES:
+            fuse_ok = False
+        first_idx[f] = int(p[np.nonzero(eorder == 0)[0][0]])
         se = erel[eorder]
-        _fill_stream(se, np.arange(E), rel2_s[f])
-        # route2: per-rel final position = last of each rel run
-        if E:
-            run_end = np.ones(E, dtype=bool)
-            run_end[:-1] = se[:-1] != se[1:]
-            rels = se[run_end]
-            pos = np.nonzero(run_end)[0]
-            src2[f].reshape(-1)[rels] = pos
-            valid2[f].reshape(-1)[rels] = 1
-    r1 = route_tiles(src1)
+        _fill_stream(se, p, rel2_s[f])
+        # route2, two halves: A_end = Q at each present rel's last
+        # chunk; A_prev = Q at the PREVIOUS present rel's last chunk
+        # (compact position 0 — a gap with Q=0 — for the first).
+        run_end = np.ones(E, dtype=bool)
+        run_end[:-1] = se[:-1] != se[1:]
+        rels = se[run_end]
+        pos = p[np.nonzero(run_end)[0]]
+        s2 = src2[f].reshape(-1)
+        s2[rels] = pos
+        s2[HALF + rels[0]] = 0
+        if rels.shape[0] > 1:
+            s2[HALF + rels[1:]] = pos[:-1]
+        valid2[f].reshape(-1)[rels] = 1
+    if fuse_ok:
+        src1f = np.full((F, LANES * LANES), -1, dtype=np.int32)
+        src1f[:, :HALF] = src1c.reshape(F, -1)[:, :HALF]
+        src1f[:, HALF:] = src1p.reshape(F, -1)[:, :HALF]
+        r1c = route_tiles(src1f.reshape(F, LANES, LANES))
+        r1p = (np.zeros_like(r1c[0]),) * 3  # unused by the fused kernel
+    else:
+        r1c = route_tiles(src1c)
+        r1p = route_tiles(src1p)
     r2 = route_tiles(src2)
     return {
         "cid": cid_s, "rel2": rel2_s,
-        "r1s1": r1[0], "r1s2": r1[1], "r1s3": r1[2],
+        "r1s1": r1c[0], "r1s2": r1c[1], "r1s3": r1c[2],
+        "p1s1": r1p[0], "p1s2": r1p[1], "p1s3": r1p[2],
         "r2s1": r2[0], "r2s2": r2[1], "r2s3": r2[2],
-        "valid2": valid2,
+        "valid2": valid2, "first_idx": first_idx,
+        "cmask": cmask, "climit": climit,
+        "r1_fused": fuse_ok,
     }
 
 
@@ -350,8 +420,8 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     last_err: Optional[Exception] = None
     plan_sh = None
     walk = None
-    for kappa in (policy.kappa, 8192, 6144, 4096, 3072, 2048, 1024, 512,
-                  256):
+    for kappa in (policy.kappa, 12288, 10240, 8192, 6144, 4096, 3072,
+                  2048, 1024, 512, 256):
         if kappa > policy.kappa:
             continue
         k_starts, bins, r_starts, lrows = _final_tile_walk(
@@ -375,14 +445,20 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
             plan_sh = None
 
         if plan_sh is not None:
+            try:
+                scan = _plan_scan(plan_sh, k_starts, bins, r_starts,
+                                  lrows, row_ids)
+            except ValueError as e:  # scan capacity: too many chunks
+                last_err = e
+                _log(f"kappa={kappa} scan plan failed: {e}")
+                plan_sh = None
+                continue
             walk = (k_starts, bins, r_starts, lrows)
             break
     if plan_sh is None:
-        raise ValueError(f"shuffle planning failed: {last_err}")
+        raise PlanCapacityError(f"shuffle planning failed: {last_err}")
     k_starts, bins, r_starts, lrows = walk
     F = k_starts.shape[0] - 1
-
-    scan = _plan_scan(plan_sh, k_starts, bins, r_starts, lrows, row_ids)
 
     n_bins = -(-A.n_rows // BIN_ROWS)
     touched = np.zeros(n_bins, dtype=bool)
@@ -394,6 +470,35 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
             first_touch[f] = 0
         seen.add(int(bins[f]))
 
+    # pad scan tiles to a multiple of SBT_SCAN: padded tiles carry junk
+    # cid (masked to identity) and write the junk bin (n_bins)
+    F_pad = -(-F // SBT_SCAN) * SBT_SCAN
+    pf = F_pad - F
+
+    def padt(a, fill):
+        if pf == 0:
+            return a
+        pad_shape = (pf,) + a.shape[1:]
+        return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
+
+    scan = {
+        "cid": padt(scan["cid"], 16384),
+        "rel2": padt(scan["rel2"], 16384),
+        "r1s1": padt(scan["r1s1"], 0), "r1s2": padt(scan["r1s2"], 0),
+        "r1s3": padt(scan["r1s3"], 0),
+        "p1s1": padt(scan["p1s1"], 0), "p1s2": padt(scan["p1s2"], 0),
+        "p1s3": padt(scan["p1s3"], 0),
+        "r2s1": padt(scan["r2s1"], 0), "r2s2": padt(scan["r2s2"], 0),
+        "r2s3": padt(scan["r2s3"], 0),
+        "valid2": padt(scan["valid2"], 0),
+        "first_idx": padt(scan["first_idx"], 0),
+        "cmask": padt(scan["cmask"], 0),
+        "climit": padt(scan["climit"], 0),
+        "r1_fused": scan["r1_fused"],
+    }
+    bins_p = padt(np.asarray(bins, np.int32), n_bins)
+    first_p = padt(first_touch, 1)
+
     Ax_slots = np.where(slot_src >= 0, Ax[np.clip(slot_src, 0, nnz - 1)], 0)
 
     gather_dev = {
@@ -404,13 +509,18 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     scan_dev = {
         k: jnp.asarray(scan[k].reshape(-1, LANES))
         for k in ("cid", "rel2", "r1s1", "r1s2", "r1s3",
+                  "p1s1", "p1s2", "p1s3",
                   "r2s1", "r2s2", "r2s3", "valid2")
     }
     scan_dev.update({
-        "bins": jnp.asarray(bins),
+        "bins": jnp.asarray(bins_p),
         "r_start": jnp.asarray(r_starts),
         "lrow": jnp.asarray(lrows),
-        "first_touch": jnp.asarray(first_touch),
+        "first_touch": jnp.asarray(first_p),
+        "first_idx": jnp.asarray(scan["first_idx"]),
+        "cmask": jnp.asarray(scan["cmask"]),
+        "climit": jnp.asarray(scan["climit"]),
+        "r1_fused": scan["r1_fused"],
     })
     return StreamPlan(
         n_gather_tiles=pad_tiles, n_final_tiles=F, layers=1,
@@ -447,41 +557,172 @@ def _route3(v, s1_ref, s2_ref, s3_ref):
     return jnp.take_along_axis(a, s3_ref[...].astype(jnp.int32), axis=1)
 
 
-def _scan_kernel(sr: Semiring, identity: float):
-    P = BIN_ROWS // LANES  # y window rows per bin
+from spmv_tpu.kernels.pallas_utils import route3_batched as _route3_batched
 
-    def kernel(bins_ref, first_ref,
+
+SBT_SCAN = 8  # final tiles per outer scan grid step
+
+
+def _flat_cumsum(v):
+    """Inclusive cumsum of a (S, 128) tile in row-major flat order,
+    built from two MXU matmuls (lane prefix + sublane offsets) instead
+    of ~40 VPU roll passes. fp32-exact via HIGHEST precision."""
+    S, L = v.shape
+    li = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    triu = (li <= lj).astype(v.dtype)  # upper-tri incl diag
+    lane_scan = jax.lax.dot_general(
+        v, triu, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=v.dtype)
+    row_tot = jnp.broadcast_to(lane_scan[:, L - 1:L], (S, L))
+    si = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    sj = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    strict = (si > sj).astype(v.dtype)
+    off = jax.lax.dot_general(
+        strict, row_tot, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=v.dtype)
+    return lane_scan + off
+
+
+def _scan_kernel_diff(sbt: int, fused: bool):
+    """plus_times scan: MXU flat cumsum + prefix differences.
+
+    Chunk totals come out of ONE tile-wide cumsum as differences of
+    routed chunk-end prefixes (C − P halves of route 1); row totals
+    come out of a second cumsum over the rel-sorted compact layout as
+    differences at consecutive rel positions (fill-forward absent rels
+    make their diffs vanish). Replaces both segmented roll-scans of the
+    generic path; the cross-tile fixup stays the accumulating revisit
+    of the y bin (ref: agent_segment_fixup.cuh analog).
+    """
+    P = BIN_ROWS // LANES
+
+    def kernel(bins_ref, first_ref, fidx_ref, cmask_ref, climit_ref,
+               *refs):
+        if fused:
+            (prod_ref, cid_ref, r1s1_ref, r1s2_ref, r1s3_ref,
+             r2s1_ref, r2s2_ref, r2s3_ref, valid2_ref,
+             y_ref, ycand_ref) = refs
+        else:
+            (prod_ref, cid_ref, r1s1_ref, r1s2_ref, r1s3_ref,
+             p1s1_ref, p1s2_ref, p1s3_ref,
+             r2s1_ref, r2s2_ref, r2s3_ref, valid2_ref,
+             y_ref, ycand_ref) = refs
+        t = pl.program_id(0)
+        k = pl.program_id(1)
+        f = t * sbt + k
+        del bins_ref  # consumed by the out index map
+
+        # All sbt tiles are processed together at k == 0 (batched lane
+        # gathers amortize per-op overhead); inner steps only write
+        # their y bin from the scratch buffer.
+        @pl.when(k == 0)
+        def _compute():
+            cid = cid_ref[...].astype(jnp.int32)
+            prod = jnp.where(cid < 16384, prod_ref[...], 0.0)
+            S = jnp.concatenate(
+                [_flat_cumsum(prod[i * LANES:(i + 1) * LANES, :])
+                 for i in range(sbt)], axis=0)
+            C = _route3_batched(S, r1s1_ref[...], r1s2_ref[...],
+                                r1s3_ref[...])
+            if not fused:
+                Pv = _route3_batched(S, p1s1_ref[...], p1s2_ref[...],
+                                     p1s3_ref[...])
+            qs = []
+            ci = flat_iota((P, LANES))
+            for i in range(sbt):
+                fi = t * sbt + i
+                if fused:
+                    Ci = C[i * LANES:i * LANES + P, :]
+                    Pi = C[i * LANES + P:(i + 1) * LANES, :]
+                else:
+                    Ci = C[i * LANES:i * LANES + P, :]
+                    Pi = Pv[i * LANES:i * LANES + P, :]
+                Pi = jnp.where(ci == fidx_ref[fi], jnp.zeros_like(Pi), Pi)
+                is_chunk = ((jnp.bitwise_and(ci - 1, cmask_ref[fi]) == 0)
+                            & (ci >= 1) & (ci < climit_ref[fi]))
+                D = jnp.where(is_chunk, Ci - Pi, jnp.zeros_like(Ci))
+                Q = _flat_cumsum(D)
+                qs.append(Q)
+                qs.append(Q)  # upper half: same coords, don't-care
+            R2 = _route3_batched(jnp.concatenate(qs, axis=0),
+                                 r2s1_ref[...], r2s2_ref[...],
+                                 r2s3_ref[...])
+            vm = valid2_ref[...].astype(jnp.int32) > 0
+            ends = jnp.concatenate(
+                [R2[i * LANES:i * LANES + P, :] for i in range(sbt)],
+                axis=0)
+            prevs = jnp.concatenate(
+                [R2[i * LANES + P:(i + 1) * LANES, :] for i in range(sbt)],
+                axis=0)
+            ycand_ref[...] = jnp.where(vm, ends - prevs,
+                                       jnp.zeros_like(ends))
+
+        y_cand = ycand_ref[pl.ds(k * P, P), :]
+        prev = jnp.where(first_ref[f] == 1, jnp.zeros_like(y_cand),
+                         y_ref[...])
+        y_ref[...] = prev + y_cand
+
+    return kernel
+
+
+def _scan_kernel_roll(sr: Semiring, identity: float, sbt: int):
+    """Generic-semiring scan: segmented roll-scans (any associative
+    reduce, no inverse assumed). Same plan streams as the diff path."""
+    P = BIN_ROWS // LANES
+
+    def kernel(bins_ref, first_ref, fidx_ref, cmask_ref, climit_ref,
                prod_ref, cid_ref, r1s1_ref, r1s2_ref, r1s3_ref,
                rel2_ref, r2s1_ref, r2s2_ref, r2s3_ref, valid2_ref,
-               y_ref):
-        f = pl.program_id(0)
-        del bins_ref  # used only by the out index map
+               y_ref, ycand_ref):
+        t = pl.program_id(0)
+        k = pl.program_id(1)
+        f = t * sbt + k
+        del bins_ref, fidx_ref, cmask_ref, climit_ref
 
-        # scan 1: per-chunk totals (monotonic chunk ids; junk slots
-        # carry cid+16384 so segments bridge gaps at identity value)
-        cid = cid_ref[...].astype(jnp.int32)
-        prod = jnp.where(cid < 16384, prod_ref[...],
-                         jnp.full_like(prod_ref[...], identity))
-        scan = segmented_scan_tile(prod, cid & 16383, sr.reduce, identity)
+        @pl.when(k == 0)
+        def _compute():
+            for i in range(sbt):
+                def sl(ref):
+                    return ref[pl.ds(i * LANES, LANES), :]
 
-        # route1: chunk-end values into a rel-sorted compact prefix,
-        # then scan 2 merges same-row chunks
-        ends = _route3(scan, r1s1_ref, r1s2_ref, r1s3_ref)
-        rel2 = rel2_ref[...].astype(jnp.int32)
-        ends = jnp.where(rel2 < 16384, ends, jnp.full_like(ends, identity))
-        scan2 = segmented_scan_tile(ends, rel2 & 16383, sr.reduce, identity)
+                # scan 1: per-chunk totals (monotonic chunk ids; junk
+                # slots carry cid+16384 so segments bridge gaps at the
+                # identity value)
+                cid = sl(cid_ref).astype(jnp.int32)
+                prod = jnp.where(cid < 16384, sl(prod_ref),
+                                 jnp.full((LANES, LANES), identity,
+                                          dtype=prod_ref.dtype))
+                scan = segmented_scan_tile(prod, cid & 16383, sr.reduce,
+                                           identity)
 
-        # route2: per-row totals into the rel-addressed y window
-        y_full = _route3(scan2, r2s1_ref, r2s2_ref, r2s3_ref)
-        vm = valid2_ref[...].astype(jnp.int32) > 0  # i8 cmp unsupported
-        y_cand = jnp.where(vm, y_full[:P, :],
-                           jnp.full((P, LANES), identity, dtype=y_full.dtype))
+                # route1: chunk-end values into the rel-sorted compact
+                # layout, then scan 2 merges same-row chunks
+                ends = _route3(scan, sl(r1s1_ref), sl(r1s2_ref),
+                               sl(r1s3_ref))
+                rel2 = sl(rel2_ref).astype(jnp.int32)
+                ends = jnp.where(rel2 < 16384, ends,
+                                 jnp.full_like(ends, identity))
+                scan2 = segmented_scan_tile(ends, rel2 & 16383, sr.reduce,
+                                            identity)
+
+                # route2: per-row totals into the rel-addressed y window
+                # (the A_end half; the A_prev half is diff-path-only)
+                y_full = _route3(scan2, sl(r2s1_ref), sl(r2s2_ref),
+                                 sl(r2s3_ref))
+                vm = valid2_ref[pl.ds(i * P, P), :].astype(jnp.int32) > 0
+                ycand_ref[pl.ds(i * P, P), :] = jnp.where(
+                    vm, y_full[:P, :],
+                    jnp.full((P, LANES), identity, dtype=y_full.dtype))
 
         # reduce-merge into the bin window: rows split across tiles in
         # ANY pattern combine by semiring associativity — no carry
         # chain, no row-contiguity requirement (the decoupled-lookback
         # fixup analog, ref: agent_segment_fixup.cuh, reduced to an
         # accumulating revisit of the output block).
+        y_cand = ycand_ref[pl.ds(k * P, P), :]
         ident_win = jnp.full((P, LANES), identity, dtype=y_cand.dtype)
         prev = jnp.where(first_ref[f] == 1, ident_win, y_ref[...])
         y_ref[...] = sr.reduce(prev, y_cand)
@@ -527,31 +768,56 @@ def _gather_pass(x2d, ax, q, xb, *, sr: Semiring, sbt, n_tiles, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sr", "F", "n_bins", "interpret"))
-def _scan_pass(prod_fin, cid, r1s1, r1s2, r1s3, rel2, r2s1, r2s2, r2s3,
-               valid2, bins, first_touch, *, sr: Semiring, F,
-               n_bins, interpret):
+    "sr", "F_pad", "n_bins", "interpret", "r1_fused"))
+def _scan_pass(prod_fin, cid, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
+               rel2, r2s1, r2s2, r2s3,
+               valid2, bins, first_touch, first_idx, cmask, climit,
+               *, sr: Semiring, F_pad, n_bins, interpret, r1_fused):
+    """Scan over final tiles, SBT_SCAN per outer grid step (big block
+    fetches amortize DMA latency; one y-bin write per inner step). The
+    output has a junk bin (index n_bins) receiving padded tiles."""
     identity = float(sr.identity_for(prod_fin.dtype))
     P = BIN_ROWS // LANES
+    sbt = SBT_SCAN
+    T = F_pad // sbt
+    diff = sr.name == "plus_times" and prod_fin.dtype == jnp.float32
+
+    def tile_spec(rows):
+        return pl.BlockSpec((rows * sbt, LANES), lambda t, k, *_: (t, 0))
+
+    if diff:
+        kernel = _scan_kernel_diff(sbt, r1_fused)
+        if r1_fused:
+            in_specs = [tile_spec(LANES)] * 8 + [tile_spec(P)]
+            args = (prod_fin, cid, r1s1, r1s2, r1s3,
+                    r2s1, r2s2, r2s3, valid2)
+        else:
+            in_specs = [tile_spec(LANES)] * 11 + [tile_spec(P)]
+            args = (prod_fin, cid, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
+                    r2s1, r2s2, r2s3, valid2)
+    else:
+        kernel = _scan_kernel_roll(sr, identity, sbt)
+        in_specs = [tile_spec(LANES)] * 9 + [tile_spec(P)]
+        args = (prod_fin, cid, r1s1, r1s2, r1s3, rel2, r2s1, r2s2, r2s3,
+                valid2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(F,),
-        in_specs=(
-            [pl.BlockSpec((LANES, LANES), lambda f, *_: (f, 0))] * 9
-            + [pl.BlockSpec((P, LANES), lambda f, *_: (f, 0))]
-        ),
-        out_specs=pl.BlockSpec((P, LANES), lambda f, b, *_: (b[f], 0)),
+        num_scalar_prefetch=5,
+        grid=(T, sbt),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (P, LANES), lambda t, k, b, *_: (b[t * sbt + k], 0)),
+        scratch_shapes=[pltpu.VMEM((sbt * P, LANES), prod_fin.dtype)],
     )
     return pl.pallas_call(
-        _scan_kernel(sr, identity),
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_bins * P, LANES), prod_fin.dtype),
+        out_shape=jax.ShapeDtypeStruct(((n_bins + 1) * P, LANES),
+                                       prod_fin.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(bins, first_touch,
-      prod_fin, cid, r1s1, r1s2, r1s3, rel2, r2s1, r2s2, r2s3, valid2)
+    )(bins, first_touch, first_idx, cmask, climit, *args)
 
 
 def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
@@ -581,16 +847,24 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
         n_tiles=plan.n_gather_tiles, interpret=interp)
 
     prod_fin = apply_shuffle(prod, plan.shuffle, plan.shuffle_dev)
-    prod_fin = prod_fin[: plan.n_final_tiles * LANES]
+    F_pad = plan.scan["cid"].shape[0] // LANES
+    if prod_fin.shape[0] < F_pad * LANES:
+        prod_fin = jnp.pad(
+            prod_fin, ((0, F_pad * LANES - prod_fin.shape[0]), (0, 0)))
 
     y2d = _scan_pass(
         prod_fin, plan.scan["cid"], plan.scan["r1s1"], plan.scan["r1s2"],
-        plan.scan["r1s3"], plan.scan["rel2"], plan.scan["r2s1"],
+        plan.scan["r1s3"], plan.scan["p1s1"], plan.scan["p1s2"],
+        plan.scan["p1s3"], plan.scan["rel2"], plan.scan["r2s1"],
         plan.scan["r2s2"], plan.scan["r2s3"], plan.scan["valid2"],
-        plan.scan["bins"], plan.scan["first_touch"], sr=semiring,
-        F=plan.n_final_tiles, n_bins=plan.n_bins, interpret=interp)
+        plan.scan["bins"], plan.scan["first_touch"],
+        plan.scan["first_idx"], plan.scan["cmask"], plan.scan["climit"],
+        sr=semiring, F_pad=F_pad, n_bins=plan.n_bins, interpret=interp,
+        r1_fused=plan.scan["r1_fused"])
 
-    y3 = y2d.reshape(plan.n_bins, BIN_ROWS)
+    # drop the junk bin (padded scan tiles write bin n_bins)
+    y3 = y2d[: plan.n_bins * (BIN_ROWS // LANES)].reshape(
+        plan.n_bins, BIN_ROWS)
     y3 = jnp.where(plan.touched_bins[:, None], y3, ident)
     return y3.reshape(-1)[: A.n_rows]
 
