@@ -14,11 +14,14 @@ import numpy as np
 
 # Every registered device kind gets a TPU number on record
 # (VERDICT r1 weak item 3); "stream" first so the headline metric is
-# available even if a later kind fails.
+# available even if a later kind fails, fast kinds before the direct
+# ELL/tiled fallbacks so a driver timeout cuts the slow tail first.
 ALL_KINDS = ("stream", "merge", "merge_genl", "merge_stock",
-             "merge_tiled", "csr_vector", "csr_vector_shfl",
-             "csr_vector_shfl2", "light_vec", "light_warp",
+             "csr_vector_shfl", "csr_vector", "csr_vector_shfl2",
+             "light_vec", "light_warp",
+             "merge_tiled", "csr_vector_ell", "light_vec_ell",
              "csr_scalar", "xla")
+TIME_BUDGET_S = 1500  # emit the JSON line even if the tail is cut
 
 
 def main():
@@ -33,8 +36,15 @@ def main():
     A = power_law_csr(n_rows, n_rows, nnz, alpha=1.5, seed=42)
     x = np.random.default_rng(0).standard_normal(n_rows).astype(np.float32)
 
+    import time
+
+    t0 = time.perf_counter()
     best = None
     for kind in ALL_KINDS:
+        if best is not None and time.perf_counter() - t0 > TIME_BUDGET_S:
+            print(f"bench budget exceeded, skipping from {kind}",
+                  file=sys.stderr)
+            break
         try:
             r = benchmark_spmv(kind, A, x, iters=30, check=True)
         except Exception as e:

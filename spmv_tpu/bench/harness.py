@@ -37,8 +37,10 @@ DEFAULT_KINDS = [
     "csr_vector",
     "csr_vector_shfl",
     "csr_vector_shfl2",
+    "csr_vector_ell",
     "light_vec",
     "light_warp",
+    "light_vec_ell",
     "merge_stock",
     "merge",
     "merge_genl",
@@ -77,6 +79,12 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--no-check", action="store_true")
     p.add_argument("--json", action="store_true", help="emit JSON lines")
+    p.add_argument("--autotune", metavar="TABLE.json", nargs="?",
+                   const="", default=None,
+                   help="refit the stream tile policy on this matrix "
+                        "before benchmarking (the runtime analog of the "
+                        "reference's per-arch policy tables); optional "
+                        "path persists/loads the fitted table")
     p.add_argument("--x", choices=["ones", "random"], default="random",
                    help="x vector (reference uses all-ones, main.cu:41; "
                         "random is value-sensitive and the default here)")
@@ -102,6 +110,15 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     x = (np.ones(A.n_cols, np.float32) if args.x == "ones"
          else rng.standard_normal(A.n_cols).astype(np.float32))
+
+    if args.autotune is not None:
+        from spmv_tpu.ops import tuning
+
+        fields, sweep = tuning.autotune_stream(A, x, iters=args.iters)
+        tuning.set_active(fields)
+        print(f"autotuned stream policy: {fields}", file=sys.stderr)
+        if args.autotune:
+            tuning.save_table(fields, args.autotune)
 
     results = []
     for kind in kinds:

@@ -1,25 +1,33 @@
-"""csr-vector SpMV family: the CUSP kernel analogs.
+"""csr-vector SpMV family: the CUSP kernel analogs, TPU-fast.
 
 Reference kinds "cusp"/"cusp1"/"cusp2"
 (ref: include/spmv/cusp/cusp.cuh, cusp_warp_reduce.cuh,
 cusp_warp_read_reduce.cuh): T threads cooperate per row, T chosen from
-mean nnz/row, differing in reduction strategy (shared-memory tree vs
-warp shuffle) and offset delivery (shared memory vs shuffle
-broadcast).
+mean nnz/row, differing in the reduction mechanics (shared-memory
+linear tree vs warp shuffle) and offset delivery.
 
-TPU translation: W lanes per row chunk over packed ELL tiles (see
-kernels/ell.py), with the same three strategy variants:
+TPU translation, round 2 (VERDICT r1 item 1): the family's x-read now
+rides the plan-routed stream pipeline — the only element access
+pattern this chip runs at speed — and the per-kind REDUCTION-STRATEGY
+axis maps onto the scan kernel:
 
-- ``csr_vector``       — linear roll-accumulate ("smem tree" analog)
-- ``csr_vector_shfl``  — log-step roll tree ("warp shuffle" analog);
-  like the reference dispatcher, it falls back to the linear kernel
-  for W ≤ 16 (ref: cusp_warp_reduce.cuh:100-127 only shuffles at T=32)
-- ``csr_vector_shfl2`` — tree reduce + roll-broadcast of the result
-  within the group ("offsets read via shuffle" analog,
-  ref: cusp_warp_read_reduce.cuh:27-34), same W ≤ 16 fallback
+- ``csr_vector``       — roll/segmented-scan reduction (the log-step
+  in-register tree; the smem-tree analog, ref: cusp.cuh:82-136)
+- ``csr_vector_shfl``  — the MXU prefix-difference reduction when the
+  ring has an inverse (the "optimized shuffle reduction" analog,
+  ref: cusp_warp_reduce.cuh:11-59); like the reference dispatcher it
+  falls back to the csr_vector strategy for narrow mean rows
+  (ref: cusp_warp_reduce.cuh:100-127 only shuffles at T=32)
+- ``csr_vector_shfl2`` — same reduction with the offsets-by-shuffle
+  delivery axis (ref: cusp_warp_read_reduce.cuh:27-34); that axis is
+  free on TPU (scalar-prefetched offsets ARE broadcast), so it shares
+  csr_vector_shfl's policy and measures identically — kept registered
+  for reference parity.
 
-plus ``csr_scalar``, the simple row-parallel kernel at full 128-lane
-width (the Pallas starter kernel; oracle-adjacent).
+The direct W-lanes-per-chunk ELL kernels remain available as
+``csr_vector_ell`` / ``csr_vector_shfl_ell`` / ``csr_vector_shfl2_ell``
+(the structural analogs, and the fallback past the stream planner's
+reach), plus ``csr_scalar`` — the simple row-parallel Pallas baseline.
 """
 
 from __future__ import annotations
@@ -27,7 +35,11 @@ from __future__ import annotations
 import numpy as np
 
 from spmv_tpu.formats import CSR
-from spmv_tpu.ops.registry import register, plan_cache
+from spmv_tpu.ops.registry import (
+    register,
+    plan_cache,
+    PlanCapacityError,
+)
 from spmv_tpu.ops.semiring import Semiring, PLUS_TIMES
 from spmv_tpu.kernels.ell import build_ell_plan, ell_spmv, select_width
 
@@ -36,7 +48,8 @@ def _all_rows(A: CSR) -> np.ndarray:
     return np.arange(A.n_rows, dtype=np.int64)
 
 
-def _csr_vector_impl(A: CSR, x, semiring: Semiring, strategy: str, min_shfl_width: int = 0):
+def _csr_vector_ell_impl(A: CSR, x, semiring: Semiring, strategy: str,
+                         min_shfl_width: int = 0):
     W = select_width(A.mean_nnz_per_row)
     if W <= min_shfl_width:
         # Reference parity: the shuffle dispatchers fall back to the
@@ -47,30 +60,74 @@ def _csr_vector_impl(A: CSR, x, semiring: Semiring, strategy: str, min_shfl_widt
     return ell_spmv(A, x, semiring, plan, strategy)
 
 
+def _csr_vector_fast(A: CSR, x, semiring: Semiring, scan_strategy: str,
+                     ell_strategy: str, min_shfl_width: int = 0):
+    from spmv_tpu.kernels.stream import StreamPolicy, _stream_spmv
+
+    if scan_strategy == "auto" and A.mean_nnz_per_row <= min_shfl_width:
+        scan_strategy = "roll"  # narrow-row fallback, as the ref dispatcher
+    try:
+        return _stream_spmv(
+            A, x, semiring,
+            StreamPolicy(kappa=12288, scan_strategy=scan_strategy))
+    except PlanCapacityError:
+        return _csr_vector_ell_impl(A, x, semiring, ell_strategy,
+                                    min_shfl_width)
+
+
 @register("csr_vector", supports_semiring=True,
           reference_analog="cusp/cusp.cuh:19-237", aliases=("cusp",))
 def _csr_vector(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
-    """csr-vector, linear group accumulate (cusp smem-tree analog)."""
-    return _csr_vector_impl(A, x, semiring, "linear")
+    """csr-vector, roll-reduction scan (cusp smem-tree analog)."""
+    return _csr_vector_fast(A, x, semiring, "roll", "linear")
 
 
 @register("csr_vector_shfl", supports_semiring=True,
           reference_analog="cusp/cusp_warp_reduce.cuh:11-148", aliases=("cusp1",))
 def _csr_vector_shfl(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
-    """csr-vector, log-step tree reduce (cusp1 warp-shuffle analog)."""
-    return _csr_vector_impl(A, x, semiring, "tree", min_shfl_width=16)
+    """csr-vector, optimized reduction (cusp1 warp-shuffle analog)."""
+    return _csr_vector_fast(A, x, semiring, "auto", "tree",
+                            min_shfl_width=2)
 
 
 @register("csr_vector_shfl2", supports_semiring=True,
           reference_analog="cusp/cusp_warp_read_reduce.cuh:11-154", aliases=("cusp2",))
 def _csr_vector_shfl2(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
-    """csr-vector, tree reduce + group broadcast (cusp2 analog)."""
-    return _csr_vector_impl(A, x, semiring, "broadcast", min_shfl_width=16)
+    """csr-vector, optimized reduction + broadcast offsets (cusp2
+    analog; the offset-delivery axis is free on TPU)."""
+    return _csr_vector_fast(A, x, semiring, "auto", "broadcast",
+                            min_shfl_width=2)
+
+
+@register("csr_vector_ell", supports_semiring=True,
+          reference_analog="cusp/cusp.cuh:19-237 (direct ELL execution)")
+def _csr_vector_ell(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
+    """csr-vector, direct W-lanes-per-chunk ELL kernel (linear group
+    accumulate); the structural cusp analog and reach fallback."""
+    return _csr_vector_ell_impl(A, x, semiring, "linear")
+
+
+@register("csr_vector_shfl_ell", supports_semiring=True,
+          reference_analog="cusp/cusp_warp_reduce.cuh (direct ELL execution)")
+def _csr_vector_shfl_ell(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
+    """csr-vector, direct ELL kernel with log-step tree reduce."""
+    return _csr_vector_ell_impl(A, x, semiring, "tree", min_shfl_width=16)
+
+
+@register("csr_vector_shfl2_ell", supports_semiring=True,
+          reference_analog="cusp/cusp_warp_read_reduce.cuh (direct ELL)")
+def _csr_vector_shfl2_ell(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
+    """csr-vector, direct ELL kernel, tree reduce + group broadcast."""
+    return _csr_vector_ell_impl(A, x, semiring, "broadcast",
+                                min_shfl_width=16)
 
 
 @register("csr_scalar", supports_semiring=True,
           reference_analog="(SURVEY §7.3a; row-parallel baseline)")
 def _csr_scalar(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
-    """Row-parallel Pallas kernel: each row chunked at full 128-lane width."""
-    plan = plan_cache(A, ("ell", 128), lambda: build_ell_plan(A, _all_rows(A), 128))
-    return ell_spmv(A, x, semiring, plan, "tree")
+    """Row-blocked Pallas baseline: rows chunked at the mean-derived
+    width, linear accumulate — the oracle-adjacent simple kernel (no
+    plan-routed gather, no reduction tricks)."""
+    W = select_width(A.mean_nnz_per_row)
+    plan = plan_cache(A, ("ell", W), lambda: build_ell_plan(A, _all_rows(A), W))
+    return ell_spmv(A, x, semiring, plan, "linear")

@@ -75,6 +75,11 @@ class StreamPolicy:
     kappa: int = 14336       # live nnz per final tile (scan EN)
     hot_threshold: int = 2048  # column count to qualify for replication
     gather_sbt: int = 8      # gather tiles per grid step
+    # scan reduction strategy: "auto" takes the MXU prefix-difference
+    # kernel when the ring has an inverse (plus_times/f32); "roll"
+    # forces the log-step roll/segmented-scan kernel (the sequential/
+    # tree in-register reduction analog, ref: cusp.cuh:82-136)
+    scan_strategy: str = "auto"
 
 
 @dataclasses.dataclass
@@ -768,11 +773,12 @@ def _gather_pass(x2d, ax, q, xb, *, sr: Semiring, sbt, n_tiles, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sr", "F_pad", "n_bins", "interpret", "r1_fused"))
+    "sr", "F_pad", "n_bins", "interpret", "r1_fused", "strategy"))
 def _scan_pass(prod_fin, cid, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
                rel2, r2s1, r2s2, r2s3,
                valid2, bins, first_touch, first_idx, cmask, climit,
-               *, sr: Semiring, F_pad, n_bins, interpret, r1_fused):
+               *, sr: Semiring, F_pad, n_bins, interpret, r1_fused,
+               strategy: str = "auto"):
     """Scan over final tiles, SBT_SCAN per outer grid step (big block
     fetches amortize DMA latency; one y-bin write per inner step). The
     output has a junk bin (index n_bins) receiving padded tiles."""
@@ -780,7 +786,8 @@ def _scan_pass(prod_fin, cid, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
     P = BIN_ROWS // LANES
     sbt = SBT_SCAN
     T = F_pad // sbt
-    diff = sr.name == "plus_times" and prod_fin.dtype == jnp.float32
+    diff = (strategy == "auto" and sr.name == "plus_times"
+            and prod_fin.dtype == jnp.float32)
 
     def tile_spec(rows):
         return pl.BlockSpec((rows * sbt, LANES), lambda t, k, *_: (t, 0))
@@ -827,8 +834,12 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
     if A.nnz == 0 or A.n_cols == 0:
         return jnp.full((A.n_rows,), ident, dtype=val_dtype)
 
+    # plan structure is independent of the scan strategy: key on the
+    # structural fields only so roll/auto variants share one plan
     plan: StreamPlan = plan_cache(
-        A, ("stream", policy), lambda: build_stream_plan(A, policy))
+        A, ("stream", policy.kappa, policy.hot_threshold,
+            policy.gather_sbt),
+        lambda: build_stream_plan(A, policy))
     interp = config.use_interpret()
 
     # --- x table: padded x2d + hot-column broadcast pages ---
@@ -860,7 +871,7 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
         plan.scan["bins"], plan.scan["first_touch"],
         plan.scan["first_idx"], plan.scan["cmask"], plan.scan["climit"],
         sr=semiring, F_pad=F_pad, n_bins=plan.n_bins, interpret=interp,
-        r1_fused=plan.scan["r1_fused"])
+        r1_fused=plan.scan["r1_fused"], strategy=policy.scan_strategy)
 
     # drop the junk bin (padded scan tiles write bin n_bins)
     y3 = y2d[: plan.n_bins * (BIN_ROWS // LANES)].reshape(
@@ -876,5 +887,11 @@ DEFAULT_POLICY = StreamPolicy()
           reference_analog="merge_based/* rebuilt via plan-time routing "
                            "(see docs/DESIGN_stream.md)")
 def _stream(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
-    """Stream-SpMV: gather pass + planned shuffle + segmented scan."""
-    return _stream_spmv(A, x, semiring, DEFAULT_POLICY)
+    """Stream-SpMV: gather pass + planned shuffle + MXU scan. Tile
+    policy comes from the tuning layer (per-chip tables / autotune
+    override, ops/tuning.py — the per-arch policy selection analog,
+    ref: dispatch_spmv_orig.cuh:266-427)."""
+    from spmv_tpu.ops.tuning import policy_for
+
+    width = np.dtype(np.asarray(A.Ax).dtype).itemsize
+    return _stream_spmv(A, x, semiring, policy_for(width))

@@ -1,0 +1,124 @@
+"""Tuning-policy layer: per-chip-generation tables + autotune refit.
+
+The reference encodes per-SM-architecture tile policies in a compile-
+time table (ref: merge_based/dispatch_spmv_orig.cuh:266-427, e.g.
+SM60: 128 threads x 7 items for fp32, 64 x 5 for fp64) selected by
+`max_value_byte` (ref: merge_genl/dispatch_spmv_orig.cuh:292-293).
+
+The TPU analog: per-chip-generation stream-pipeline policies keyed on
+the value width, plus a RUNTIME refit path — `autotune_stream`
+measures candidate tile sizes on the attached chip and the winning
+table can be persisted/loaded (the reference cannot do this; compile-
+time templates are why).
+
+Only v5e is measured in this repo; other generations carry scaled
+defaults (larger VMEM/BW on v5p/v6e favors fuller tiles) and are
+refit candidates via autotune.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+# chip -> value-byte-width -> policy fields
+CHIP_TABLES = {
+    # measured on the attached v5e (scripts/profile_stream.py)
+    "v5e": {4: {"kappa": 14336}, 8: {"kappa": 12288},
+            2: {"kappa": 14336}},
+    "v4": {4: {"kappa": 12288}, 8: {"kappa": 10240}, 2: {"kappa": 12288}},
+    "v5p": {4: {"kappa": 14336}, 8: {"kappa": 12288}, 2: {"kappa": 14336}},
+    "v6e": {4: {"kappa": 14336}, 8: {"kappa": 12288}, 2: {"kappa": 14336}},
+    "cpu": {4: {"kappa": 12288}, 8: {"kappa": 12288}, 2: {"kappa": 12288}},
+}
+_DEFAULT = {"kappa": 14336}
+
+_ACTIVE: Optional[dict] = None  # autotuned override, if any
+
+
+def detect_chip() -> str:
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return "cpu"
+    for name in ("v6e", "v5p", "v5e", "v5 lite", "v4"):
+        if name in kind:
+            return "v5e" if name == "v5 lite" else name
+    return "v5e"
+
+
+def policy_for(value_bytes: int = 4, chip: Optional[str] = None):
+    """The active stream policy: autotuned override if set, else the
+    chip-generation table (the per-arch policy selection analog)."""
+    from spmv_tpu.kernels.stream import StreamPolicy
+
+    if _ACTIVE is not None:
+        return StreamPolicy(**_ACTIVE)
+    chip = chip or detect_chip()
+    fields = CHIP_TABLES.get(chip, {}).get(value_bytes, _DEFAULT)
+    return StreamPolicy(**fields)
+
+
+def set_active(fields: Optional[dict]):
+    """Install (or clear, with None) an autotuned policy override."""
+    global _ACTIVE
+    _ACTIVE = dict(fields) if fields is not None else None
+
+
+def autotune_stream(A, x, kappas=(8192, 10240, 12288, 14336),
+                    iters=20, verbose=True):
+    """Measure candidate tile sizes on the attached chip; returns
+    (best_fields, results). Install with set_active / save_table."""
+    import sys
+
+    from spmv_tpu.kernels.stream import StreamPolicy, _stream_spmv
+    from spmv_tpu.ops.registry import PlanCapacityError
+    from spmv_tpu.ops.semiring import PLUS_TIMES
+    from spmv_tpu.utils.timing import benchmark_fn
+
+    results = []
+    for kappa in kappas:
+        pol = StreamPolicy(kappa=kappa)
+        try:
+            total, kern = benchmark_fn(
+                lambda v, pol=pol: _stream_spmv(A, v, PLUS_TIMES, pol),
+                x, iters=iters)
+        except (PlanCapacityError, ValueError) as e:
+            if verbose:
+                print(f"autotune kappa={kappa}: failed ({e})",
+                      file=sys.stderr)
+            continue
+        results.append({"kappa": kappa, "kernel_s": kern})
+        if verbose:
+            print(f"autotune kappa={kappa}: {kern*1e3:.4f} ms",
+                  file=sys.stderr)
+    if not results:
+        raise RuntimeError("autotune: no candidate policy planned")
+    best = min(results, key=lambda r: r["kernel_s"])
+    return {"kappa": best["kappa"]}, results
+
+
+def save_table(fields: dict, path: str):
+    chip = detect_chip()
+    table = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            table = json.load(f)
+    table[chip] = fields
+    with open(path, "w") as f:
+        json.dump(table, f, indent=1)
+
+
+def load_table(path: str) -> Optional[dict]:
+    """Load and install this chip's autotuned policy; returns it."""
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        table = json.load(f)
+    fields = table.get(detect_chip())
+    if fields:
+        set_active(fields)
+    return fields

@@ -1,18 +1,34 @@
-"""Row partitioning of CSR matrices for multi-chip execution.
+"""Row partitioning + halo exchange planning for multi-chip SpMV.
 
 The reference is single-GPU (ref: common.cuh:8 `USED_DEVICE 0`,
 SURVEY §2 'Distributed communication backend: none'); this layer is
 the NEW capability the TPU build adds (SURVEY §7 step 6, BASELINE.json
-north-star): a 1-D row partition balanced by nnz (the merge-path idea
-lifted to the chip level — each chip gets an equal share of
-rows+nnz work), per-chip local CSR blocks, and the halo structure
-(which x entries each chip actually reads).
+north-star):
+
+- a 1-D row partition balanced by rows+nnz (the merge-path diagonal
+  split applied at chip granularity),
+- x ownership as contiguous column blocks (one per chip),
+- and a HALO PLAN: per (receiver, owner) pair, exactly which x entries
+  must travel. Column indices are remapped at plan time into the
+  receiver's halo-table coordinates, so the runtime exchange is a
+  single `all_to_all` of value payloads — no index traffic, no runtime
+  translation, and comm volume equals the halo size instead of
+  all-gathering every column (VERDICT r1 item 4).
+
+Each shard's nonzeros are split into a SELF part (columns the shard
+owns) and a HALO part (remote columns): the self matvec has no
+dependency on the exchange, so XLA's scheduler overlaps the
+`all_to_all` with it.
+
+SPMD uniformity: shard_map needs identical shapes per shard, so
+per-shard arrays are padded to the max across shards. The rows+nnz
+balanced split keeps the max close to the mean even on power-law
+matrices (unlike equal-row splits).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List
 
 import numpy as np
 
@@ -25,18 +41,53 @@ class RowPartition:
 
     n_shards: int
     row_starts: np.ndarray  # (n_shards+1,) global first row per shard
-    # Padded per-shard local CSR, stacked on axis 0:
     rows_per_shard: int  # padded local row count R
     nnz_per_shard: int  # padded local nnz N
-    Ap: np.ndarray  # (n_shards, R+1) int32 local offsets (padded rows are empty)
+    Ap: np.ndarray  # (n_shards, R+1) int32 local offsets (padded rows empty)
     Aj: np.ndarray  # (n_shards, N) int32 GLOBAL column indices
     Ax: np.ndarray  # (n_shards, N) values (padding = 0)
-    # Halo structure: which global x entries each shard reads.
     halo_counts: np.ndarray  # (n_shards,) distinct columns touched
 
+
+@dataclasses.dataclass
+class HaloPlan:
+    """Value-only halo exchange + split local CSR blocks.
+
+    x ownership: chip s owns columns [s*B, (s+1)*B) of the padded x.
+    The exchange is `all_to_all` on (n, M) value payloads; receiver s's
+    halo table is the received (n, M) block flattened, so a remote
+    column needed from owner t at send-slot j lives at table position
+    t*M + j (baked into Aj_halo at plan time).
+    """
+
+    n_shards: int
+    B: int               # x block (columns per shard, padded)
+    M: int               # max send-slot count per (owner, receiver)
+    R: int               # padded local rows
+    N_self: int          # padded self-nnz per shard
+    N_halo: int          # padded halo-nnz per shard
+    row_starts: np.ndarray   # (n+1,)
+    # per-shard send plan: send_idx[t, s, :] = local x positions shard t
+    # sends to shard s (pad 0)
+    send_idx: np.ndarray     # (n, n, M) int32
+    # split local CSRs (COO-style: per-nnz local row + remapped col)
+    rows_self: np.ndarray    # (n, N_self) int32 local row (pad R)
+    cols_self: np.ndarray    # (n, N_self) int32 in [0, B)
+    vals_self: np.ndarray    # (n, N_self)
+    rows_halo: np.ndarray    # (n, N_halo) int32 local row (pad R)
+    cols_halo: np.ndarray    # (n, N_halo) int32 in [0, n*M)
+    vals_halo: np.ndarray    # (n, N_halo)
+    halo_counts: np.ndarray  # (n,) true halo entries received per shard
+
     @property
-    def n_rows_padded(self) -> int:
-        return self.n_shards * self.rows_per_shard
+    def comm_bytes_per_shard(self) -> int:
+        """all_to_all payload bytes each shard sends (value dtype f32)."""
+        return int(self.n_shards * self.M * 4)
+
+    @property
+    def allgather_bytes_per_shard(self) -> int:
+        """What the v1 full all-gather would have moved."""
+        return int(self.n_shards * self.B * 4)
 
 
 def partition_rows(A: CSR, n_shards: int, balance: str = "merge") -> RowPartition:
@@ -51,22 +102,11 @@ def partition_rows(A: CSR, n_shards: int, balance: str = "merge") -> RowPartitio
     Ax = np.asarray(A.Ax)
     n_rows, nnz = A.n_rows, int(Ap[-1])
 
-    if balance == "rows" or nnz == 0:
-        row_starts = np.linspace(0, n_rows, n_shards + 1).astype(np.int64)
-    else:
-        # merge balance: shard s gets merge items [s*I/n, (s+1)*I/n),
-        # items = rows + nnz; boundary row r minimizes |(r + Ap[r]) - d|.
-        items = n_rows + nnz
-        diags = (np.arange(1, n_shards) * items) // n_shards
-        merge_pos = np.arange(n_rows + 1) + Ap  # r + Ap[r], increasing
-        cuts = np.searchsorted(merge_pos, diags, side="left")
-        row_starts = np.concatenate([[0], cuts, [n_rows]]).astype(np.int64)
-        row_starts = np.maximum.accumulate(row_starts)
+    row_starts = _row_starts(Ap, n_rows, nnz, n_shards, balance)
 
     R = int(max((row_starts[1:] - row_starts[:-1]).max(), 1))
     local_nnz = Ap[row_starts[1:]] - Ap[row_starts[:-1]]
     N = int(max(local_nnz.max(), 1))
-    # Round padded sizes up for friendlier tiling.
     N = -(-N // 128) * 128
     R = max(R, 1)
 
@@ -95,5 +135,109 @@ def partition_rows(A: CSR, n_shards: int, balance: str = "merge") -> RowPartitio
         Ap=Ap_l.astype(np.int32),
         Aj=Aj_l.astype(np.int32),
         Ax=Ax_l,
+        halo_counts=halo_counts,
+    )
+
+
+def _row_starts(Ap, n_rows, nnz, n_shards, balance):
+    if balance == "rows" or nnz == 0:
+        return np.linspace(0, n_rows, n_shards + 1).astype(np.int64)
+    # merge balance: shard s gets merge items [s*I/n, (s+1)*I/n),
+    # items = rows + nnz; boundary row r minimizes |(r + Ap[r]) - d|.
+    items = n_rows + nnz
+    diags = (np.arange(1, n_shards) * items) // n_shards
+    merge_pos = np.arange(n_rows + 1) + Ap  # r + Ap[r], increasing
+    cuts = np.searchsorted(merge_pos, diags, side="left")
+    row_starts = np.concatenate([[0], cuts, [n_rows]]).astype(np.int64)
+    return np.maximum.accumulate(row_starts)
+
+
+def build_halo_plan(A: CSR, n_shards: int,
+                    balance: str = "merge") -> HaloPlan:
+    """Plan the halo-compacted distributed SpMV (see class docstring)."""
+    Ap = np.asarray(A.Ap, dtype=np.int64)
+    Aj = np.asarray(A.Aj, dtype=np.int64)
+    Ax = np.asarray(A.Ax)
+    n = n_shards
+    n_rows, nnz = A.n_rows, int(Ap[-1])
+    row_starts = _row_starts(Ap, n_rows, nnz, n, balance)
+    B = -(-max(A.n_cols, 1) // n)
+
+    per_shard = []
+    M = 1
+    for s in range(n):
+        r0, r1 = row_starts[s], row_starts[s + 1]
+        k0, k1 = Ap[r0], Ap[r1]
+        cols = Aj[k0:k1]
+        vals = Ax[k0:k1]
+        rows = np.repeat(
+            np.arange(r1 - r0, dtype=np.int64),
+            (Ap[r0 + 1:r1 + 1] - Ap[r0:r1]))
+        owner = cols // B
+        self_m = owner == s
+        # halo: unique remote columns, grouped by owner
+        hcols = np.unique(cols[~self_m])
+        howner = hcols // B
+        # per-owner send slot of each halo column
+        slot = np.zeros(hcols.shape[0], dtype=np.int64)
+        counts = np.zeros(n, dtype=np.int64)
+        for t in np.unique(howner):
+            m = howner == t
+            c = int(m.sum())
+            slot[m] = np.arange(c)
+            counts[t] = c
+            M = max(M, c)
+        per_shard.append(dict(
+            rows=rows, cols=cols, vals=vals, self_m=self_m,
+            hcols=hcols, howner=howner, slot=slot, counts=counts))
+
+    R = int(max((row_starts[1:] - row_starts[:-1]).max(), 1))
+    N_self = max(int(max(p["self_m"].sum() for p in per_shard)), 1)
+    N_halo = max(int(max((~p["self_m"]).sum() for p in per_shard)), 1)
+    N_self = -(-N_self // 128) * 128
+    N_halo = -(-N_halo // 128) * 128
+
+    send_idx = np.zeros((n, n, M), dtype=np.int64)
+    rows_self = np.full((n, N_self), R, dtype=np.int64)
+    cols_self = np.zeros((n, N_self), dtype=np.int64)
+    vals_self = np.zeros((n, N_self), dtype=Ax.dtype if Ax.size else np.float32)
+    rows_halo = np.full((n, N_halo), R, dtype=np.int64)
+    cols_halo = np.zeros((n, N_halo), dtype=np.int64)
+    vals_halo = np.zeros((n, N_halo), dtype=vals_self.dtype)
+    halo_counts = np.zeros(n, dtype=np.int64)
+
+    for s, p in enumerate(per_shard):
+        sm = p["self_m"]
+        c_self = p["cols"][sm] - s * B
+        rows_self[s, :c_self.size] = p["rows"][sm]
+        cols_self[s, :c_self.size] = c_self
+        vals_self[s, :c_self.size] = p["vals"][sm]
+        # halo entries: remap each col to its table position t*M + slot
+        hm = ~sm
+        hc = p["cols"][hm]
+        pos_of = {int(c): int(t * M + j) for c, t, j in
+                  zip(p["hcols"], p["howner"], p["slot"])}
+        mapped = np.fromiter((pos_of[int(c)] for c in hc),
+                             dtype=np.int64, count=hc.size)
+        rows_halo[s, :hc.size] = p["rows"][hm]
+        cols_halo[s, :hc.size] = mapped
+        vals_halo[s, :hc.size] = p["vals"][hm]
+        halo_counts[s] = p["hcols"].size
+        # sender side: what every OWNER t must send to s
+        for t in np.unique(p["howner"]):
+            m = p["howner"] == t
+            send_idx[t, s, :int(m.sum())] = p["hcols"][m] - t * B
+
+    return HaloPlan(
+        n_shards=n, B=int(B), M=int(M), R=R,
+        N_self=N_self, N_halo=N_halo,
+        row_starts=row_starts,
+        send_idx=send_idx.astype(np.int32),
+        rows_self=rows_self.astype(np.int32),
+        cols_self=cols_self.astype(np.int32),
+        vals_self=vals_self,
+        rows_halo=rows_halo.astype(np.int32),
+        cols_halo=cols_halo.astype(np.int32),
+        vals_halo=vals_halo,
         halo_counts=halo_counts,
     )

@@ -21,11 +21,17 @@ DEVICE_KINDS = [
     "csr_vector",
     "csr_vector_shfl",
     "csr_vector_shfl2",
+    "csr_vector_ell",
+    "csr_vector_shfl_ell",
+    "csr_vector_shfl2_ell",
     "light_vec",
     "light_warp",
+    "light_vec_ell",
+    "light_warp_ell",
     "merge",
     "merge_stock",
     "merge_genl",
+    "merge_tiled",
 ]
 
 

@@ -78,3 +78,44 @@ def test_weak_scaling_structure():
     p2 = partition_rows(A, 2)
     p4 = partition_rows(A, 4)
     assert p4.nnz_per_shard <= p2.nnz_per_shard
+
+
+def test_halo_exchange_volume_and_equivalence():
+    # banded matrix: halo = only boundary columns -> comm volume must
+    # be far below the all-gather volume, and both modes must agree.
+    A = banded_csr(4096, bandwidth=2, seed=9)
+    x = np.random.default_rng(3).standard_normal(4096).astype(np.float32)
+    dist = distribute_csr(A, _mesh(8))
+    assert dist.comm_bytes_per_shard < dist.allgather_bytes_per_shard / 8, (
+        dist.comm_bytes_per_shard, dist.allgather_bytes_per_shard)
+    y_halo = np.asarray(dist.matvec(x, mode="halo"))
+    y_ag = np.asarray(dist.matvec(x, mode="allgather"))
+    np.testing.assert_allclose(y_halo, y_ag, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        y_halo, spmv_ref(A, x, np.float64), rtol=2e-5, atol=1e-5)
+
+
+def test_overlap_structure_self_independent_of_exchange():
+    # The compiled module must contain an all-to-all (halo exchange),
+    # and the self-block matvec must not depend on it: check the jaxpr
+    # has all_to_all (not all_gather) in halo mode.
+    A = banded_csr(512, bandwidth=1, seed=10)
+    x = np.ones(512, np.float32)
+    dist = distribute_csr(A, _mesh(4))
+    import jax
+
+    from spmv_tpu.parallel.dist_spmv import _dist_matvec
+
+    d = dist.dev
+    from spmv_tpu import config as _cfg
+
+    jaxpr = jax.make_jaxpr(
+        lambda *a: _dist_matvec(
+            *a, mesh=dist.mesh, axis=dist.axis, R=dist.plan.R,
+            shapes=dist._shapes, sr=__import__("spmv_tpu").PLUS_TIMES,
+            mode="halo", interpret=_cfg.use_interpret()))(
+        d["send_idx"], d["recv_idx"], d["self"], d["halo"],
+        dist.unpad_idx, dist.shard_x(x))
+    s = str(jaxpr)
+    assert "all_to_all" in s
+    assert "all_gather" not in s
