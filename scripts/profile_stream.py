@@ -37,8 +37,10 @@ def main(nnz=3_300_000, iters=80):
 
     from spmv_tpu.ops.registry import plan_cache
 
-    plan = plan_cache(A, ("stream", DEFAULT_POLICY),
-                      lambda: build_stream_plan(A, DEFAULT_POLICY))
+    pol = DEFAULT_POLICY
+    plan = plan_cache(
+        A, ("stream", pol.kappa, pol.hot_threshold, pol.gather_sbt),
+        lambda: build_stream_plan(A, pol))
     print(f"plan: gather_tiles={plan.n_gather_tiles} "
           f"final_tiles={plan.n_final_tiles} "
           f"passes={[(p.n_steps, p.K, p.Q) for p in plan.shuffle.passes]}",
@@ -121,10 +123,17 @@ def main(nnz=3_300_000, iters=80):
         n_bins=plan.n_bins, interpret=interp), prod_fin, gb_scan)
 
     # end to end
-    from spmv_tpu.kernels.stream import _stream_spmv
+    from spmv_tpu.kernels.stream import _stream_spmv, audit_plan
     t_e2e = t("END-TO-END", lambda v: _stream_spmv(
         A, v, sr, DEFAULT_POLICY), jnp.asarray(x))
     print(f"nnz/s end-to-end: {A.nnz/t_e2e/1e9:.2f} Gnnz/s", flush=True)
+    audit = audit_plan(plan, A.nnz)
+    print("bytes/nnz audit:", flush=True)
+    for k, v in audit["per_pass_bytes_per_nnz"].items():
+        print(f"  {k:8s} {v:6.2f} B/nnz", flush=True)
+    print(f"  total    {audit['bytes_per_nnz']:6.2f} B/nnz "
+          f"(bandwidth floor at 636 GB/s: "
+          f"{audit['total_bytes']/636e9*1e3:.3f} ms)", flush=True)
 
 
 if __name__ == "__main__":

@@ -568,17 +568,22 @@ from spmv_tpu.kernels.pallas_utils import route3_batched as _route3_batched
 SBT_SCAN = 8  # final tiles per outer scan grid step
 
 
+# Mosaic supports only DEFAULT (bf16, 8 mantissa bits — too coarse for
+# prefix sums) and HIGHEST (fp32-exact) dot precisions; use HIGHEST.
+_MM_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _flat_cumsum(v):
     """Inclusive cumsum of a (S, 128) tile in row-major flat order,
     built from two MXU matmuls (lane prefix + sublane offsets) instead
-    of ~40 VPU roll passes. fp32-exact via HIGHEST precision."""
+    of ~40 VPU roll passes."""
     S, L = v.shape
     li = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     lj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     triu = (li <= lj).astype(v.dtype)  # upper-tri incl diag
     lane_scan = jax.lax.dot_general(
         v, triu, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_MM_PRECISION,
         preferred_element_type=v.dtype)
     row_tot = jnp.broadcast_to(lane_scan[:, L - 1:L], (S, L))
     si = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
@@ -586,7 +591,7 @@ def _flat_cumsum(v):
     strict = (si > sj).astype(v.dtype)
     off = jax.lax.dot_general(
         strict, row_tot, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_MM_PRECISION,
         preferred_element_type=v.dtype)
     return lane_scan + off
 
@@ -878,6 +883,37 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
         plan.n_bins, BIN_ROWS)
     y3 = jnp.where(plan.touched_bins[:, None], y3, ident)
     return y3.reshape(-1)[: A.n_rows]
+
+
+def audit_plan(plan: StreamPlan, nnz: int, val_bytes: int = 4) -> dict:
+    """Bytes-moved audit per pass (the roofline bookkeeping the design
+    doc promises): every stream the pipeline reads or writes, reduced
+    to bytes/nnz. 'total' divided by the measured streaming bandwidth
+    is the bandwidth-bound time floor."""
+    LB = LANES
+    gt = plan.n_gather_tiles
+    F_pad = plan.scan["cid"].shape[0] // LB
+    passes = {}
+    # gather: Ax (val) + q (1B) + one (128,128) x window per tile + out
+    passes["gather"] = gt * TILE * (val_bytes + 1 + val_bytes) \
+        + gt * TILE * val_bytes  # x window refetch, one per tile
+    for i, p in enumerate(plan.shuffle.passes):
+        rows = p.n_steps * p.sbt * LB
+        passes[f"split{i}"] = (rows * LB * (2 * val_bytes + 3)
+                               + p.starts.size * 4)
+    scan_aux = 2 + 3 + 3 + 0.5  # cid + r1 + r2 + valid2 (diff, fused)
+    if not plan.scan["r1_fused"]:
+        scan_aux += 3
+    passes["scan"] = int(F_pad * TILE * (val_bytes + scan_aux)
+                         + (plan.n_bins + 1) * BIN_ROWS * val_bytes * 2)
+    total = sum(passes.values())
+    return {
+        "per_pass_bytes": passes,
+        "per_pass_bytes_per_nnz": {k: v / max(nnz, 1)
+                                   for k, v in passes.items()},
+        "total_bytes": total,
+        "bytes_per_nnz": total / max(nnz, 1),
+    }
 
 
 DEFAULT_POLICY = StreamPolicy()
