@@ -274,8 +274,10 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
     live = dst_pos >= 0
     dst_tile = np.where(live, dst_pos // TILE, 0)
     slot_tile = np.arange(slots) // TILE
-    dt = dst_tile[live]
-    st_t = slot_tile[live]
+    # int32 work arrays: all search ids fit, and the feasibility
+    # bincounts over ~1e8 elements run ~2x faster
+    dt = dst_tile[live].astype(np.int32)
+    st_t = slot_tile[live].astype(np.int32)
     cap = lambda q: q * LANES - (LANES - 1)
     _log = log or (lambda m: None)
     last_err = None
@@ -285,7 +287,8 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
         return int(c.max()) <= cap(q1)
 
     # ---- 2-pass ----
-    for q1 in (8, 16):
+    small = pad_tiles <= 4096  # beyond ~60M nnz only 4-pass can spread
+    for q1 in (8, 16) if small else ():
         region_tiles = (pad_tiles * q1) // LANES
         if region_tiles > LANES or LANES % region_tiles \
                 or region_tiles % sbt:
@@ -309,7 +312,7 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
 
     # ---- 3-pass ----
     tile_live = np.bincount(st_t, minlength=pad_tiles)
-    for q1, q2 in ((8, 8), (8, 16), (16, 8), (16, 16)):
+    for q1, q2 in ((8, 8), (8, 16), (16, 8), (16, 16)) if small else ():
         r1 = -(-pad_tiles * q1 // LANES)
         r1 = -(-r1 // sbt) * sbt
         r2 = None
@@ -362,6 +365,92 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
             except ValueError as e:
                 last_err = e
                 _log(f"  -> plan failed: {e}")
+
+    # ---- 4-pass (large inputs: >~60M nnz, where 3 levels cannot
+    # spread the final-tile digits thin enough). q=8 at level 1 keeps
+    # the first region small; q=16 at levels 2-3 doubles the quota
+    # headroom against skewed digit counts. ----
+    for q1, q23 in ((8, 16), (16, 16), (8, 8)):
+        r1 = -(-pad_tiles * q1 // LANES)
+        r1 = -(-r1 // sbt) * sbt
+        r2 = -(-r1 * q23 // LANES)
+        r2 = -(-r2 // sbt) * sbt
+        r3 = None
+        for candr in (8, 16, 32, 64, 128):
+            if candr * LANES >= r2 * q23 and LANES % candr == 0 \
+                    and candr % sbt == 0:
+                r3 = candr
+                break
+        if r3 is None:
+            continue
+        q4 = LANES // r3
+        spp2, spp3 = r1 // sbt, r2 // sbt
+        # Fast structural guard: a final tile's ranks land contiguously
+        # in the last region's ~content tiles, so the level-4 per-tile
+        # count is at least max_final_live / content3_tiles regardless
+        # of the digit split. Skip quota combos that cannot fit (the
+        # caller's kappa retry shrinks max_final_live).
+        max_final_live = int(np.bincount(dt, minlength=1).max())
+        content3_tiles = max(spp3 * sbt * q23 // LANES, 1)
+        est_l4 = max_final_live / content3_tiles
+        if est_l4 > 0.8 * cap(q4):
+            _log(f"4-pass q=({q1},{q23}): level-4 estimate "
+                 f"{est_l4:.0f} vs cap {cap(q4)} — need smaller tiles")
+            continue
+        g1_0 = max(2, int(-(-tile_live.max() // cap(q1))))
+        tried_g1 = 0
+        for G1 in range(g1_0, 65, 2):
+            if not _fits1(G1, q1):
+                _log(f"4-pass q=({q1},{q23}) G1={G1}: level-1 overflow")
+                continue
+            tried_g1 += 1
+            if tried_g1 > 2:
+                break
+            g1v = dt % G1
+            mid_id = g1v * r1 + ((st_t // sbt) * sbt * q1) // LANES
+            for G2 in (8, 16, 24, 32, 48, 64):
+                g2v = (dt // G1) % G2
+                c2m = int(np.bincount(mid_id * G2 + g2v,
+                                      minlength=1).max())
+                if c2m > cap(q23):
+                    _log(f"4-pass G1={G1} G2={G2}: level-2 max {c2m} "
+                         f"> {cap(q23)}")
+                    continue
+                step2 = mid_id // sbt
+                sub2 = ((g2v * G1 + step2 // spp2) * r2
+                        + ((step2 % spp2) * sbt * q23) // LANES)
+                for G3 in (8, 16, 24, 32, 48, 64):
+                    g4 = -(-F // (G1 * G2 * G3))
+                    if not (1 <= g4 <= 64):
+                        continue
+                    g3v = (dt // (G1 * G2)) % G3
+                    c3m = int(np.bincount(sub2 * G3 + g3v,
+                                          minlength=1).max())
+                    if c3m > cap(q23):
+                        _log(f"4-pass G=({G1},{G2},{G3}): level-3 max "
+                             f"{c3m} > {cap(q23)}")
+                        continue
+                    step3 = sub2 // sbt
+                    sub3 = ((g3v * (G1 * G2) + step3 // spp3) * r3
+                            + ((step3 % spp3) * sbt * q23) // LANES)
+                    k4 = dt // (G1 * G2 * G3)
+                    c4m = int(np.bincount(sub3 * g4 + k4,
+                                          minlength=1).max())
+                    if c4m > cap(q4):
+                        _log(f"4-pass G=({G1},{G2},{G3},{g4}): level-4 "
+                             f"max {c4m} > {cap(q4)}")
+                        continue
+                    _log(f"4-pass attempt q=({q1},{q23}) "
+                         f"G=({G1},{G2},{G3},{g4}) r=({r1},{r2},{r3})")
+                    try:
+                        return plan_shuffle_multi(
+                            dst_pos, F,
+                            levels=[(G1, q1, r1), (G2, q23, r2),
+                                    (G3, q23, r3)],
+                            sbt=sbt)
+                    except ValueError as e:
+                        last_err = e
+                        _log(f"  -> plan failed: {e}")
     raise ValueError(f"no feasible shuffle geometry: {last_err}")
 
 
@@ -423,6 +512,8 @@ def shuffle_device_arrays(plan: ShufflePlan) -> list:
     padded to a lane multiple) — at large step counts it exceeds the
     1 MB SMEM scalar budget.
     """
+    from spmv_tpu.utils.transfer import device_put_chunked as dput
+
     out = []
     for p in plan.passes:
         n_steps, sbt, K = p.starts.shape
@@ -431,8 +522,8 @@ def shuffle_device_arrays(plan: ShufflePlan) -> list:
         st = np.zeros((rows, w), dtype=np.int32)
         st[:n_steps, : sbt * K] = p.starts.reshape(n_steps, sbt * K)
         out.append({
-            "s1": jnp.asarray(p.s1), "s2": jnp.asarray(p.s2),
-            "s3": jnp.asarray(p.s3), "starts": jnp.asarray(st),
+            "s1": dput(p.s1), "s2": dput(p.s2),
+            "s3": dput(p.s3), "starts": jnp.asarray(st),
             "pos": jnp.asarray(p.pos),
         })
     return out

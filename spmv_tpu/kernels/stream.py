@@ -390,10 +390,11 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     n_gather_tiles = xb.shape[0]
 
     # pad gather tiles to a shuffle-friendly size (multiple of 128)
-    if n_gather_tiles > 4096:
+    if n_gather_tiles > 16384:
         raise PlanCapacityError(
             f"matrix too large for the shuffle planner: {n_gather_tiles} "
-            f"gather tiles > 4096 (~60M nnz); use kind 'merge'/'xla'")
+            f"gather tiles > 16384 (~240M nnz); use kind "
+            f"'merge_tiled'/'xla'")
     pad_tiles = max(128, -(-n_gather_tiles // 128) * 128)
     padn = pad_tiles - n_gather_tiles
     if padn:
@@ -506,13 +507,15 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
 
     Ax_slots = np.where(slot_src >= 0, Ax[np.clip(slot_src, 0, nnz - 1)], 0)
 
+    from spmv_tpu.utils.transfer import device_put_chunked as dput
+
     gather_dev = {
-        "Ax": jnp.asarray(Ax_slots.astype(Ax.dtype).reshape(-1, LANES)),
-        "q": jnp.asarray(slot_q.reshape(-1, LANES)),
+        "Ax": dput(Ax_slots.astype(Ax.dtype).reshape(-1, LANES)),
+        "q": dput(slot_q.reshape(-1, LANES)),
         "xb": jnp.asarray(xb),
     }
     scan_dev = {
-        k: jnp.asarray(scan[k].reshape(-1, LANES))
+        k: dput(scan[k].reshape(-1, LANES))
         for k in ("cid", "rel2", "r1s1", "r1s2", "r1s3",
                   "p1s1", "p1s2", "p1s3",
                   "r2s1", "r2s2", "r2s3", "valid2")
@@ -596,6 +599,38 @@ def _flat_cumsum(v):
     return lane_scan + off
 
 
+def _flat_cumsum_batched(v, R: int):
+    """Per-R-row-block inclusive flat cumsum of a (T*R, 128) stack.
+
+    One (T*R,128)@(128,128) MXU lane-prefix for ALL blocks plus one
+    small (R,R)@(R,T) matmul for the per-block sublane offsets —
+    ~2x fewer MXU units and ~T x fewer op dispatches than T separate
+    `_flat_cumsum` calls (the scan pass is compute-bound; measured
+    round 2, scripts/profile_stream.py)."""
+    N, L = v.shape
+    T = N // R
+    if T == 1:
+        return _flat_cumsum(v)
+    li = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    triu = (li <= lj).astype(v.dtype)
+    lane_scan = jax.lax.dot_general(
+        v, triu, (((1,), (0,)), ((), ())),
+        precision=_MM_PRECISION,
+        preferred_element_type=v.dtype)
+    # per-block exclusive prefix of row totals: rtT[(s', t)] -> strict
+    # lower-tri matmul over sublanes of each block, all blocks at once
+    rtT = lane_scan[:, L - 1:L].reshape(T, R).T  # (R, T)
+    si = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    sj = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    strict = (si > sj).astype(v.dtype)
+    offm = jax.lax.dot_general(
+        strict, rtT, (((1,), (0,)), ((), ())),
+        precision=_MM_PRECISION,
+        preferred_element_type=v.dtype)  # (R, T)
+    return lane_scan + offm.T.reshape(N, 1)
+
+
 def _scan_kernel_diff(sbt: int, fused: bool):
     """plus_times scan: MXU flat cumsum + prefix differences.
 
@@ -626,47 +661,48 @@ def _scan_kernel_diff(sbt: int, fused: bool):
         del bins_ref  # consumed by the out index map
 
         # All sbt tiles are processed together at k == 0 (batched lane
-        # gathers amortize per-op overhead); inner steps only write
-        # their y bin from the scratch buffer.
+        # gathers + batched MXU cumsums amortize per-op overhead);
+        # inner steps only write their y bin from the scratch buffer.
         @pl.when(k == 0)
         def _compute():
             cid = cid_ref[...].astype(jnp.int32)
             prod = jnp.where(cid < 16384, prod_ref[...], 0.0)
-            S = jnp.concatenate(
-                [_flat_cumsum(prod[i * LANES:(i + 1) * LANES, :])
-                 for i in range(sbt)], axis=0)
+            S = _flat_cumsum_batched(prod, LANES)
             C = _route3_batched(S, r1s1_ref[...], r1s2_ref[...],
                                 r1s3_ref[...])
-            if not fused:
+            C4 = C.reshape(sbt, 2, P, LANES)
+            Ce = C4[:, 0].reshape(sbt * P, LANES)
+            if fused:
+                Pe = C4[:, 1].reshape(sbt * P, LANES)
+            else:
                 Pv = _route3_batched(S, p1s1_ref[...], p1s2_ref[...],
                                      p1s3_ref[...])
-            qs = []
-            ci = flat_iota((P, LANES))
-            for i in range(sbt):
-                fi = t * sbt + i
-                if fused:
-                    Ci = C[i * LANES:i * LANES + P, :]
-                    Pi = C[i * LANES + P:(i + 1) * LANES, :]
-                else:
-                    Ci = C[i * LANES:i * LANES + P, :]
-                    Pi = Pv[i * LANES:i * LANES + P, :]
-                Pi = jnp.where(ci == fidx_ref[fi], jnp.zeros_like(Pi), Pi)
-                is_chunk = ((jnp.bitwise_and(ci - 1, cmask_ref[fi]) == 0)
-                            & (ci >= 1) & (ci < climit_ref[fi]))
-                D = jnp.where(is_chunk, Ci - Pi, jnp.zeros_like(Ci))
-                Q = _flat_cumsum(D)
-                qs.append(Q)
-                qs.append(Q)  # upper half: same coords, don't-care
-            R2 = _route3_batched(jnp.concatenate(qs, axis=0),
-                                 r2s1_ref[...], r2s2_ref[...],
+                Pe = Pv.reshape(sbt, 2, P, LANES)[:, 0].reshape(
+                    sbt * P, LANES)
+            # per-tile scalars splat over each (P, LANES) block
+            ci = flat_iota((sbt * P, LANES)) % (P * LANES)
+
+            def splat(ref):
+                return jnp.concatenate(
+                    [jnp.full((P, LANES), ref[t * sbt + i], jnp.int32)
+                     for i in range(sbt)], axis=0)
+
+            Pe = jnp.where(ci == splat(fidx_ref), jnp.zeros_like(Pe), Pe)
+            is_chunk = ((jnp.bitwise_and(ci - 1, splat(cmask_ref)) == 0)
+                        & (ci >= 1) & (ci < splat(climit_ref)))
+            D = jnp.where(is_chunk, Ce - Pe, jnp.zeros_like(Ce))
+            Q = _flat_cumsum_batched(D, P)
+            Q4 = Q.reshape(sbt, 1, P, LANES)
+            # route-2 source: [Q_i; Q_i] per tile (upper half: same
+            # coords, don't-care)
+            Qsrc = jnp.concatenate([Q4, Q4], axis=1).reshape(
+                sbt * LANES, LANES)
+            R2 = _route3_batched(Qsrc, r2s1_ref[...], r2s2_ref[...],
                                  r2s3_ref[...])
+            R4 = R2.reshape(sbt, 2, P, LANES)
+            ends = R4[:, 0].reshape(sbt * P, LANES)
+            prevs = R4[:, 1].reshape(sbt * P, LANES)
             vm = valid2_ref[...].astype(jnp.int32) > 0
-            ends = jnp.concatenate(
-                [R2[i * LANES:i * LANES + P, :] for i in range(sbt)],
-                axis=0)
-            prevs = jnp.concatenate(
-                [R2[i * LANES + P:(i + 1) * LANES, :] for i in range(sbt)],
-                axis=0)
             ycand_ref[...] = jnp.where(vm, ends - prevs,
                                        jnp.zeros_like(ends))
 

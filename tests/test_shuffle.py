@@ -82,3 +82,41 @@ def test_geometry_validation():
     dst = np.full(TILE, -1, dtype=np.int64)
     with pytest.raises(ValueError):
         plan_shuffle(dst[: TILE - 128], 4, 2, sbt=1, q1=8)
+
+
+def _run_and_check_multi(dst_pos, F, levels, sbt):
+    import jax.numpy as jnp
+
+    from spmv_tpu.kernels.shuffle import plan_shuffle_multi
+
+    plan = plan_shuffle_multi(dst_pos, F, levels=levels, sbt=sbt)
+    assert len(plan.passes) == len(levels) + 1
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal(dst_pos.shape[0]).astype(np.float32)
+    dev = shuffle_device_arrays(plan)
+    out = np.asarray(
+        apply_shuffle(jnp.asarray(data.reshape(-1, 128)), plan, dev)
+    ).reshape(-1)
+    live = dst_pos >= 0
+    d = dst_pos[live]
+    slots = plan.slot_of_dst[d]
+    assert (slots >= 0).all()
+    np.testing.assert_array_equal(out[slots], data[live])
+    assert np.unique(slots).size == slots.size
+
+
+def test_shuffle_three_level_four_pass():
+    # the >60M-nnz reach path uses 3 explicit levels + final (4 passes);
+    # exercise the same N-pass simulation/apply machinery at small size
+    rng = np.random.default_rng(4)
+    n_in_tiles, F = 8, 8
+    dst = _make_dst(rng, n_in_tiles, F, live_per_tile=900)
+    _run_and_check_multi(dst, F, levels=[(2, 16, 1), (2, 16, 1),
+                                         (2, 16, 1)], sbt=1)
+
+
+def test_shuffle_two_level_three_pass():
+    rng = np.random.default_rng(5)
+    n_in_tiles, F = 8, 8
+    dst = _make_dst(rng, n_in_tiles, F, live_per_tile=1800)
+    _run_and_check_multi(dst, F, levels=[(2, 16, 1), (4, 16, 1)], sbt=1)
