@@ -95,15 +95,35 @@ def _plan_split(cur: np.ndarray, grp: np.ndarray, n_groups: int,
     assert out_rows % n_groups == 0
 
     g_eff = np.where(cur >= 0, grp, n_groups)  # junk sorts last
-    src = np.full((n_tiles, LANES, LANES), -1, dtype=np.int32)
     starts = np.zeros((n_steps, sbt, n_groups), dtype=np.int32)
     new_cur = np.full(out_rows * LANES, -1, dtype=np.int64)
+    if not callable(out_flat_base):
+        B0 = out_flat_base  # (n_steps, n_groups, sbt) int64 base array
+    else:
+        B0 = np.empty((n_steps, n_groups, sbt), dtype=np.int64)
+        for s_ in range(n_steps):
+            for g_ in range(n_groups):
+                for j_ in range(sbt):
+                    B0[s_, g_, j_] = out_flat_base(s_, g_, j_)
 
+    # Per-tile processing: each tile's 16K-element sort + group walk
+    # stays L2-resident, which measures ~2x faster end-to-end than a
+    # fully vectorized global argsort over 1e8+ slots (profiled at
+    # 100M nnz, round 2).
+    src = np.full((n_tiles, LANES, LANES), -1, dtype=np.int32)
     cur_t = cur.reshape(n_tiles, TILE)
     g_t = g_eff.reshape(n_tiles, TILE)
+    pay_bits = max(int(cur.max(initial=0)) + 2, 2).bit_length()
+    fuse_keys = n_groups < (1 << 14) and pay_bits < 48
 
     for t in range(n_tiles):
-        order = np.lexsort((cur_t[t], g_t[t]))  # by (group, payload)
+        if fuse_keys:
+            # composite key + radix (kind='stable' on ints) beats
+            # two-key lexsort per tile
+            key = (g_t[t].astype(np.int64) << pay_bits) | (cur_t[t] + 1)
+            order = np.argsort(key, kind="stable")
+        else:
+            order = np.lexsort((cur_t[t], g_t[t]))
         gs = g_t[t][order]
         n_live = int(np.searchsorted(gs, n_groups))
         src[t].reshape(-1)[:n_live] = order[:n_live]
@@ -119,21 +139,19 @@ def _plan_split(cur: np.ndarray, grp: np.ndarray, n_groups: int,
                     f"exceeds a {Q}-row window at start {st}")
             starts[step, j, g] = st
             if c:
-                base = out_flat_base(step, g, j)
+                base = int(B0[step, g, j])
                 woff = b - st * LANES
                 new_cur[base + woff:base + woff + c] = cur_t[t][order[b:e]]
 
     # per-step output block position within each group's array, in
     # blk_rows units (identical across groups by the layout contract)
     rows_per_g = out_rows // n_groups
-    pos = np.empty(n_steps, dtype=np.int32)
-    for t in range(n_steps):
-        base0 = out_flat_base(t, 0, 0)
-        if base0 % (blk_rows * LANES):
-            raise ValueError("region start not aligned to quota blocks")
-        if base0 + blk_rows * LANES > rows_per_g * LANES:
-            raise ValueError("quota block exceeds the group region")
-        pos[t] = base0 // (blk_rows * LANES)
+    base0s = B0[:, 0, 0]
+    if (base0s % (blk_rows * LANES)).any():
+        raise ValueError("region start not aligned to quota blocks")
+    if (base0s + blk_rows * LANES > rows_per_g * LANES).any():
+        raise ValueError("quota block exceeds the group region")
+    pos = (base0s // (blk_rows * LANES)).astype(np.int32)
     p = SplitPass(
         n_steps=n_steps, sbt=sbt, K=n_groups, Q=Q,
         in_rows=slots // LANES, out_rows=out_rows, stitch=stitch,
@@ -210,13 +228,15 @@ def plan_shuffle_multi(dst_pos: np.ndarray, n_final_tiles: int,
         region_elems = r_tiles * TILE
         nreg_out = nreg * G
 
-        def base(step, g_loc, j, spp=spp, blk=blk, q=q, G=G, nreg=nreg,
-                 region_elems=region_elems):
-            parent, s = divmod(step, spp)
-            region = g_loc * nreg + parent
-            return region * region_elems + s * blk + j * q * LANES
+        n_steps_p = cur.shape[0] // (sbt * TILE)
+        steps = np.arange(n_steps_p, dtype=np.int64)
+        parent, s_in = steps // spp, steps % spp
+        B0 = ((np.arange(G, dtype=np.int64)[None, :, None] * nreg
+               + parent[:, None, None]) * region_elems
+              + (s_in * blk)[:, None, None]
+              + (np.arange(sbt, dtype=np.int64) * q * LANES)[None, None, :])
 
-        p, cur = _plan_split(cur, grp_slot, G, sbt, q, "concat", base,
+        p, cur = _plan_split(cur, grp_slot, G, sbt, q, "concat", B0,
                              out_rows=nreg_out * r_tiles * LANES)
         passes.append(p)
         radix *= G
@@ -234,13 +254,16 @@ def plan_shuffle_multi(dst_pos: np.ndarray, n_final_tiles: int,
     blk = sbt * q_last * LANES
     grp_last = np.where(cur >= 0, (cur // TILE) // radix, 0)
 
-    def base_last(step, k, j, spp=spp, blk=blk, radix=radix):
-        parent, s = divmod(step, spp)
-        f = k * radix + parent
-        return f * TILE + s * blk + j * q_last * LANES
+    n_steps_l = cur.shape[0] // (sbt * TILE)
+    steps = np.arange(n_steps_l, dtype=np.int64)
+    parent, s_in = steps // spp, steps % spp
+    B0L = ((np.arange(g_size, dtype=np.int64)[None, :, None] * radix
+            + parent[:, None, None]) * TILE
+           + (s_in * blk)[:, None, None]
+           + (np.arange(sbt, dtype=np.int64) * q_last * LANES)[None, None, :])
 
     p, fin = _plan_split(cur, grp_last, g_size, sbt, q_last, "concat",
-                         base_last, out_rows=F_pad * LANES)
+                         B0L, out_rows=F_pad * LANES)
     passes.append(p)
 
     slot_of_dst = np.full(F * TILE, -1, dtype=np.int64)

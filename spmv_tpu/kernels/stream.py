@@ -204,21 +204,25 @@ def _final_tile_walk(Ap: np.ndarray, row_ids: np.ndarray, kappa: int):
     window is one aligned (BIN_ROWS/128,128) block of y2d). Returns
     k_starts (F+1,), bin (F,), r_start (F,), lrow (F,)."""
     nnz = row_ids.shape[0]
-    k_starts = [0]
-    bins, r_starts, lrows = [], [], []
-    k = 0
-    while k < nnz:
-        r0 = int(row_ids[k])
-        b = r0 // BIN_ROWS
-        k_bin = int(np.searchsorted(row_ids, (b + 1) * BIN_ROWS))
-        k_next = min(k + kappa, k_bin)
-        bins.append(b)
-        r_starts.append(r0)
-        lrows.append(int(row_ids[k_next - 1]))
-        k = k_next
-        k_starts.append(k)
-    return (np.asarray(k_starts, np.int64), np.asarray(bins, np.int32),
-            np.asarray(r_starts, np.int32), np.asarray(lrows, np.int32))
+    if nnz == 0:
+        return (np.zeros(1, np.int64), np.zeros(0, np.int32),
+                np.zeros(0, np.int32), np.zeros(0, np.int32))
+    # vectorized: per-bin nnz ranges, then fixed-kappa cuts within each
+    n_bins = int(row_ids[-1]) // BIN_ROWS + 1
+    nb = np.searchsorted(
+        row_ids, np.arange(n_bins + 1, dtype=np.int64) * BIN_ROWS)
+    sizes = np.diff(nb)
+    tpb = -(-sizes // kappa)  # tiles per bin (0 for empty bins)
+    total = int(tpb.sum())
+    csum = np.concatenate([[0], np.cumsum(tpb)])[:-1]
+    off = np.arange(total, dtype=np.int64) - np.repeat(csum, tpb)
+    starts = np.repeat(nb[:-1], tpb) + off * kappa
+    ends = np.minimum(starts + kappa, np.repeat(nb[1:], tpb))
+    k_starts = np.concatenate([starts, [nnz]]).astype(np.int64)
+    bins = np.repeat(np.arange(n_bins, dtype=np.int32), tpb)
+    r_starts = row_ids[starts].astype(np.int32)
+    lrows = row_ids[ends - 1].astype(np.int32)
+    return k_starts, bins, r_starts, lrows
 
 
 HALF = TILE // 2  # flat boundary between the C and P route-1 halves
@@ -559,6 +563,79 @@ def _gather_kernel(sbt: int, sr: Semiring, identity: float):
     return kernel
 
 
+def _gather_split_kernel(sbt: int, sr: Semiring, identity: float,
+                         K: int, Q: int):
+    """Fused gather + shuffle-pass-1: products are computed in
+    registers, routed, and DMA'd straight into the pass-1 quota
+    windows — the product array never round-trips HBM between the
+    gather and the first split (the fusion DESIGN_stream.md names)."""
+    from spmv_tpu.kernels.pallas_utils import route3_batched
+
+    def kernel(xb_ref, pos_ref, starts_ref, ax_ref, q_ref,
+               s1_ref, s2_ref, s3_ref, *refs):
+        del xb_ref, pos_ref  # consumed by the index maps
+        xwins = refs[:sbt]
+        out_refs, scratch = refs[sbt:sbt + K], refs[-1]
+        prods = []
+        for j in range(sbt):
+            q = q_ref[j * LANES:(j + 1) * LANES, :].astype(jnp.int32)
+            ax = ax_ref[j * LANES:(j + 1) * LANES, :]
+            qc = jnp.where(q >= 0, q, 0)
+            xg = jnp.take_along_axis(xwins[j][...].T, qc.T, axis=1).T
+            prods.append(jnp.where(q >= 0, sr.combine(ax, xg), identity))
+        scratch[...] = route3_batched(
+            jnp.concatenate(prods, axis=0), s1_ref[...], s2_ref[...],
+            s3_ref[...])
+        r = pl.program_id(0) % 8
+        srow = starts_ref[pl.ds(r, 1), :]
+        for k in range(K):
+            for j in range(sbt):
+                st = srow[0, j * K + k]
+                out_refs[k][j * Q:(j + 1) * Q, :] = \
+                    scratch[pl.ds(j * LANES + st, Q), :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sr", "sbt", "n_tiles", "K", "Q", "rows_per_g", "interpret"))
+def _gather_split_pass(x2d, ax, q, xb, s1, s2, s3, starts, pos, *,
+                       sr: Semiring, sbt, n_tiles, K, Q, rows_per_g,
+                       interpret):
+    identity = float(sr.identity_for(ax.dtype))
+    n_steps = n_tiles // sbt
+    sw = starts.shape[1]
+
+    def xwin_map(j):
+        return lambda t, xb, pos: (xb[t * sbt + j], 0)
+
+    def blk(rows):
+        return pl.BlockSpec((rows, LANES), lambda t, xb, pos: (t, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_steps,),
+        in_specs=(
+            [pl.BlockSpec((8, sw), lambda t, xb, pos: (t // 8, 0))]
+            + [blk(sbt * LANES)] * 5
+            + [pl.BlockSpec((LANES, LANES), xwin_map(j))
+               for j in range(sbt)]
+        ),
+        out_specs=[pl.BlockSpec((sbt * Q, LANES),
+                                lambda t, xb, pos: (pos[t], 0))] * K,
+        scratch_shapes=[pltpu.VMEM((sbt * LANES, LANES), ax.dtype)],
+    )
+    return pl.pallas_call(
+        _gather_split_kernel(sbt, sr, identity, K, Q),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((rows_per_g, LANES), ax.dtype)
+                   for _ in range(K)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xb, pos, starts, ax, q, s1, s2, s3, *([x2d] * sbt))
+
+
 def _route3(v, s1_ref, s2_ref, s3_ref):
     a = jnp.take_along_axis(v, s1_ref[...].astype(jnp.int32), axis=1).T
     a = jnp.take_along_axis(a, s2_ref[...].astype(jnp.int32), axis=1).T
@@ -893,12 +970,30 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
             (n_aug, LANES))
         x2d = jnp.concatenate([x2d, aug], axis=0)
 
-    prod = _gather_pass(
-        x2d, plan.gather["Ax"].astype(val_dtype), plan.gather["q"],
-        plan.gather["xb"], sr=semiring, sbt=8,
-        n_tiles=plan.n_gather_tiles, interpret=interp)
+    p0 = plan.shuffle.passes[0]
+    if p0.sbt == 8 and p0.n_steps * 8 == plan.n_gather_tiles:
+        # fused gather + split-1: products never round-trip HBM
+        d0 = plan.shuffle_dev[0]
+        outs = _gather_split_pass(
+            x2d, plan.gather["Ax"].astype(val_dtype), plan.gather["q"],
+            plan.gather["xb"], d0["s1"], d0["s2"], d0["s3"],
+            d0["starts"], d0["pos"], sr=semiring, sbt=8,
+            n_tiles=plan.n_gather_tiles, K=p0.K, Q=p0.Q,
+            rows_per_g=p0.out_rows // p0.K, interpret=interp)
+        prod_fin = jnp.concatenate(outs, axis=0)
+        from spmv_tpu.kernels.shuffle import _run_split
 
-    prod_fin = apply_shuffle(prod, plan.shuffle, plan.shuffle_dev)
+        for p, d in zip(plan.shuffle.passes[1:], plan.shuffle_dev[1:]):
+            prod_fin = jnp.concatenate(_run_split(
+                prod_fin, d["s1"], d["s2"], d["s3"], d["starts"],
+                d["pos"], n_steps=p.n_steps, sbt=p.sbt, K=p.K, Q=p.Q,
+                rows_per_g=p.out_rows // p.K, interpret=interp), axis=0)
+    else:
+        prod = _gather_pass(
+            x2d, plan.gather["Ax"].astype(val_dtype), plan.gather["q"],
+            plan.gather["xb"], sr=semiring, sbt=8,
+            n_tiles=plan.n_gather_tiles, interpret=interp)
+        prod_fin = apply_shuffle(prod, plan.shuffle, plan.shuffle_dev)
     F_pad = plan.scan["cid"].shape[0] // LANES
     if prod_fin.shape[0] < F_pad * LANES:
         prod_fin = jnp.pad(
@@ -929,13 +1024,17 @@ def audit_plan(plan: StreamPlan, nnz: int, val_bytes: int = 4) -> dict:
     LB = LANES
     gt = plan.n_gather_tiles
     F_pad = plan.scan["cid"].shape[0] // LB
+    p0 = plan.shuffle.passes[0]
+    fused01 = p0.sbt == 8 and p0.n_steps * 8 == gt
     passes = {}
-    # gather: Ax (val) + q (1B) + one (128,128) x window per tile + out
+    # gather: Ax (val) + q (1B) + one (128,128) x window per tile
+    # (+ the product write only when NOT fused into split-1)
     passes["gather"] = gt * TILE * (val_bytes + 1 + val_bytes) \
-        + gt * TILE * val_bytes  # x window refetch, one per tile
+        + (0 if fused01 else gt * TILE * val_bytes)
     for i, p in enumerate(plan.shuffle.passes):
         rows = p.n_steps * p.sbt * LB
-        passes[f"split{i}"] = (rows * LB * (2 * val_bytes + 3)
+        rw = val_bytes if (i == 0 and fused01) else 2 * val_bytes
+        passes[f"split{i}"] = (rows * LB * (rw + 3)
                                + p.starts.size * 4)
     scan_aux = 2 + 3 + 3 + 0.5  # cid + r1 + r2 + valid2 (diff, fused)
     if not plan.scan["r1_fused"]:
