@@ -481,9 +481,8 @@ def _split_kernel(sbt: int, K: int, Q: int):
     from spmv_tpu.kernels.pallas_utils import route3_batched
 
     def kernel(pos_ref, starts_ref, data_ref, s1_ref, s2_ref, s3_ref,
-               *refs):
-        del pos_ref  # consumed by the output index maps
-        out_refs, scratch = refs[:-1], refs[-1]
+               out_ref, scratch):
+        del pos_ref  # consumed by the output index map
         scratch[...] = route3_batched(
             data_ref[...], s1_ref[...], s2_ref[...], s3_ref[...])
         r = pl.program_id(0) % 8  # row of this step within the (8, W) block
@@ -491,7 +490,7 @@ def _split_kernel(sbt: int, K: int, Q: int):
         for k in range(K):
             for j in range(sbt):
                 st = srow[0, j * K + k]
-                out_refs[k][j * Q:(j + 1) * Q, :] = \
+                out_ref[k, j * Q:(j + 1) * Q, :] = \
                     scratch[pl.ds(j * LANES + st, Q), :]
 
     return kernel
@@ -501,6 +500,11 @@ def _split_kernel(sbt: int, K: int, Q: int):
     "n_steps", "sbt", "K", "Q", "rows_per_g", "interpret"))
 def _run_split(data, s1, s2, s3, starts, pos, *, n_steps, sbt, K, Q,
                rows_per_g, interpret):
+    """One split pass. The K group outputs share one (K, rows_per_g,
+    128) array — `pos` is identical across groups by the layout
+    contract, so a single 3-D block covers all K quota windows per
+    step, and the stitched consumer order is a FREE reshape (round 1
+    concatenated K arrays, a full extra copy of the payload)."""
     blk_rows = sbt * Q
     in_rows_blk = sbt * LANES
     sw = starts.shape[1]  # padded sbt*K width
@@ -513,15 +517,15 @@ def _run_split(data, s1, s2, s3, starts, pos, *, n_steps, sbt, K, Q,
             + [pl.BlockSpec((in_rows_blk, LANES),
                             lambda t, pos: (t, 0))] * 4
         ),
-        out_specs=[pl.BlockSpec((blk_rows, LANES),
-                                lambda t, pos: (pos[t], 0))] * K,
+        out_specs=pl.BlockSpec((K, blk_rows, LANES),
+                               lambda t, pos: (0, pos[t], 0)),
         scratch_shapes=[pltpu.VMEM((sbt * LANES, LANES), data.dtype)],
     )
     return pl.pallas_call(
         _split_kernel(sbt, K, Q),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((rows_per_g, LANES), data.dtype)
-                   for _ in range(K)],
+        out_shape=jax.ShapeDtypeStruct((K, rows_per_g, LANES),
+                                       data.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
@@ -556,10 +560,11 @@ def apply_shuffle(data: jax.Array, plan: ShufflePlan, dev: list):
     """Run all passes; data: (in_rows, 128) -> (out_rows, 128)."""
     x = data
     for p, d in zip(plan.passes, dev):
-        outs = _run_split(x, d["s1"], d["s2"], d["s3"], d["starts"],
-                          d["pos"], n_steps=p.n_steps, sbt=p.sbt, K=p.K,
-                          Q=p.Q, rows_per_g=p.out_rows // p.K,
-                          interpret=config.use_interpret())
-        # regions interleave round-robin: concat over k IS consumer order
-        x = jnp.concatenate(outs, axis=0)
+        out = _run_split(x, d["s1"], d["s2"], d["s3"], d["starts"],
+                         d["pos"], n_steps=p.n_steps, sbt=p.sbt, K=p.K,
+                         Q=p.Q, rows_per_g=p.out_rows // p.K,
+                         interpret=config.use_interpret())
+        # regions interleave round-robin: the (K, rows_per_g) group-
+        # major layout IS consumer order — reshape, no copy
+        x = out.reshape(p.out_rows, LANES)
     return x

@@ -575,7 +575,7 @@ def _gather_split_kernel(sbt: int, sr: Semiring, identity: float,
                s1_ref, s2_ref, s3_ref, *refs):
         del xb_ref, pos_ref  # consumed by the index maps
         xwins = refs[:sbt]
-        out_refs, scratch = refs[sbt:sbt + K], refs[-1]
+        out_ref, scratch = refs[sbt], refs[-1]
         prods = []
         for j in range(sbt):
             q = q_ref[j * LANES:(j + 1) * LANES, :].astype(jnp.int32)
@@ -591,7 +591,7 @@ def _gather_split_kernel(sbt: int, sr: Semiring, identity: float,
         for k in range(K):
             for j in range(sbt):
                 st = srow[0, j * K + k]
-                out_refs[k][j * Q:(j + 1) * Q, :] = \
+                out_ref[k, j * Q:(j + 1) * Q, :] = \
                     scratch[pl.ds(j * LANES + st, Q), :]
 
     return kernel
@@ -621,15 +621,14 @@ def _gather_split_pass(x2d, ax, q, xb, s1, s2, s3, starts, pos, *,
             + [pl.BlockSpec((LANES, LANES), xwin_map(j))
                for j in range(sbt)]
         ),
-        out_specs=[pl.BlockSpec((sbt * Q, LANES),
-                                lambda t, xb, pos: (pos[t], 0))] * K,
+        out_specs=pl.BlockSpec((K, sbt * Q, LANES),
+                               lambda t, xb, pos: (0, pos[t], 0)),
         scratch_shapes=[pltpu.VMEM((sbt * LANES, LANES), ax.dtype)],
     )
     return pl.pallas_call(
         _gather_split_kernel(sbt, sr, identity, K, Q),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((rows_per_g, LANES), ax.dtype)
-                   for _ in range(K)],
+        out_shape=jax.ShapeDtypeStruct((K, rows_per_g, LANES), ax.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
@@ -974,20 +973,21 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
     if p0.sbt == 8 and p0.n_steps * 8 == plan.n_gather_tiles:
         # fused gather + split-1: products never round-trip HBM
         d0 = plan.shuffle_dev[0]
-        outs = _gather_split_pass(
+        prod_fin = _gather_split_pass(
             x2d, plan.gather["Ax"].astype(val_dtype), plan.gather["q"],
             plan.gather["xb"], d0["s1"], d0["s2"], d0["s3"],
             d0["starts"], d0["pos"], sr=semiring, sbt=8,
             n_tiles=plan.n_gather_tiles, K=p0.K, Q=p0.Q,
-            rows_per_g=p0.out_rows // p0.K, interpret=interp)
-        prod_fin = jnp.concatenate(outs, axis=0)
+            rows_per_g=p0.out_rows // p0.K, interpret=interp
+        ).reshape(p0.out_rows, LANES)
         from spmv_tpu.kernels.shuffle import _run_split
 
         for p, d in zip(plan.shuffle.passes[1:], plan.shuffle_dev[1:]):
-            prod_fin = jnp.concatenate(_run_split(
+            prod_fin = _run_split(
                 prod_fin, d["s1"], d["s2"], d["s3"], d["starts"],
                 d["pos"], n_steps=p.n_steps, sbt=p.sbt, K=p.K, Q=p.Q,
-                rows_per_g=p.out_rows // p.K, interpret=interp), axis=0)
+                rows_per_g=p.out_rows // p.K, interpret=interp,
+            ).reshape(p.out_rows, LANES)
     else:
         prod = _gather_pass(
             x2d, plan.gather["Ax"].astype(val_dtype), plan.gather["q"],
