@@ -273,8 +273,10 @@ def plan_shuffle_multi(dst_pos: np.ndarray, n_final_tiles: int,
     slot_of_dst[fl[keep]] = np.nonzero(liv)[0][keep]
 
     # All quotas fit: now pay for the per-tile 3-stage routing.
+    # Split perms are injective per tile (sorted distinct sources) —
+    # skip the dedup pass.
     for p in passes:
-        s1, s2, s3 = route_tiles(p.s1)
+        s1, s2, s3 = route_tiles(p.s1, dedupe=False)
         p.s1 = s1.reshape(-1, LANES)
         p.s2 = s2.reshape(-1, LANES)
         p.s3 = s3.reshape(-1, LANES)

@@ -103,7 +103,7 @@ def _load():
         lib.spmv_ell_count_chunks.restype = I64
         lib.spmv_ell_fill.argtypes = [I64, P64, P64, I64, I64, I64, P64, PU8, P32]
         lib.spmv_ell_fill.restype = ctypes.c_int
-        lib.spmv_route_tiles.argtypes = [I64, P32, PU8, PU8, PU8]
+        lib.spmv_route_tiles.argtypes = [I64, P32, PU8, PU8, PU8, ctypes.c_int32]
         lib.spmv_route_tiles.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -214,9 +214,11 @@ def ell_chunks(sel_rows: np.ndarray, Ap: np.ndarray, W: int, nnz: int):
     return (flat_k.reshape(V, W), valid.reshape(V, W).astype(bool), vrow_row)
 
 
-def route_tiles(src: np.ndarray):
+def route_tiles(src: np.ndarray, dedupe: bool = True):
     """Native 3-stage tile routing (see ops/routing.py for semantics).
-    src: (T,128,128) int32. Returns (s1, s2, s3) uint8 arrays."""
+    src: (T,128,128) int32. Returns (s1, s2, s3) uint8 arrays.
+    dedupe=False asserts the map is injective per tile (no repeated
+    (r1,c1)->r2 flow), skipping the stamp-table pass."""
     lib = _load()
     if lib is None:
         raise NotImplementedError("native library unavailable")
@@ -226,7 +228,8 @@ def route_tiles(src: np.ndarray):
     s2 = np.empty((T, 128, 128), dtype=np.uint8)
     s3 = np.empty((T, 128, 128), dtype=np.uint8)
     rc = lib.spmv_route_tiles(T, src.reshape(-1), s1.reshape(-1),
-                              s2.reshape(-1), s3.reshape(-1))
+                              s2.reshape(-1), s3.reshape(-1),
+                              1 if dedupe else 0)
     if rc != 0:
         raise ValueError(_err(lib))
     return s1, s2, s3

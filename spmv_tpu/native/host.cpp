@@ -546,9 +546,13 @@ static void euler_color_128(const uint8_t* eu, const uint8_t* ev,
 
 // src: (T,128,128) int32 flat in-tile source positions (r1*128+c1),
 // -1 for don't-care slots. s1,s2,s3: (T,128,128) uint8 outputs.
-// Returns 0, or -1 if a tile's deduped degree exceeds 128.
+// dedupe=0: caller guarantees no (r1,c1,r2) repeats (injective maps,
+// e.g. shuffle split perms) — skips the 8MB stamp table whose random
+// misses dominate per-tile cost. Returns 0, or -1 if a tile's deduped
+// degree exceeds 128.
 int spmv_route_tiles(int64_t T, const int32_t* src,
-                     uint8_t* s1, uint8_t* s2, uint8_t* s3) {
+                     uint8_t* s1, uint8_t* s2, uint8_t* s3,
+                     int32_t dedupe) {
   const int E = 16384;
   // triple dedupe map over (r1,c1,r2): 2M slots, epoch-stamped
   int32_t* stamp = (int32_t*)std::calloc(128 * 128 * 128, sizeof(int32_t));
@@ -576,6 +580,20 @@ int spmv_route_tiles(int64_t T, const int32_t* src,
         if (sp < 0) { slot_edge[r2 * 128 + c2] = -1; continue; }
         if (sp >= E) { rc = fail("route: src out of range"); break; }
         int r1 = sp >> 7, c1 = sp & 127;
+        if (!dedupe) {
+          if (degl[r1] >= 128 || degr[r2] >= 128) {
+            rc = fail("route: tile degree exceeds 128 (duplicating "
+                      "gather passed with dedupe=0?)");
+            break;
+          }
+          eu[ne] = (uint8_t)r1;
+          ev[ne] = (uint8_t)r2;
+          ec1[ne] = (uint8_t)c1;
+          degl[r1]++;
+          degr[r2]++;
+          slot_edge[r2 * 128 + c2] = ne++;
+          continue;
+        }
         int key = (sp << 7) | r2;
         if (stamp[key] != tstamp) {
           if (degl[r1] >= 128 || degr[r2] >= 128) {

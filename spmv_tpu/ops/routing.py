@@ -32,13 +32,19 @@ LANES = 128
 TILE = LANES * LANES
 
 
-def route_tiles(src: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def route_tiles(src: np.ndarray, dedupe: bool = True,
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Plan 3-stage routes for T tiles.
 
     src: (T, 128, 128) int32; src[t, r2, c2] = flat in-tile source
     position r1*128+c1, or -1 for don't-care slots (output there is
     unspecified; callers mask). Returns (s1, s2, s3), each
     (T, 128, 128) uint8.
+
+    dedupe=False asserts the map is injective per tile (each live
+    output slot reads a distinct source slot, e.g. shuffle split
+    perms) — the native path then skips its 8 MB dedup stamp table,
+    whose random misses dominate per-tile planning cost.
 
     Raises ValueError if a tile's deduped flow degree exceeds 128
     (cannot happen for bijections-with-don't-cares; pathological
@@ -51,7 +57,7 @@ def route_tiles(src: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         from spmv_tpu import native
 
         if native.available():
-            return native.route_tiles(src)
+            return native.route_tiles(src, dedupe=dedupe)
     except NotImplementedError:
         pass
     return route_tiles_py(src)
