@@ -72,7 +72,8 @@ class ShufflePlan:
 
 def _plan_split(cur: np.ndarray, grp: np.ndarray, n_groups: int,
                 sbt: int, Q: int, stitch, out_flat_base,
-                out_rows: Optional[int] = None):
+                out_rows: Optional[int] = None,
+                sort_payload: bool = True):
     """Plan one split pass and simulate its stitched output layout.
 
     cur: (slots,) int64 payload per input slot, -1 junk.
@@ -96,7 +97,6 @@ def _plan_split(cur: np.ndarray, grp: np.ndarray, n_groups: int,
 
     g_eff = np.where(cur >= 0, grp, n_groups)  # junk sorts last
     starts = np.zeros((n_steps, sbt, n_groups), dtype=np.int32)
-    new_cur = np.full(out_rows * LANES, -1, dtype=np.int64)
     if not callable(out_flat_base):
         B0 = out_flat_base  # (n_steps, n_groups, sbt) int64 base array
     else:
@@ -106,10 +106,37 @@ def _plan_split(cur: np.ndarray, grp: np.ndarray, n_groups: int,
                 for j_ in range(sbt):
                     B0[s_, g_, j_] = out_flat_base(s_, g_, j_)
 
+    # Native fast path: per-tile counting sort in C (the whole
+    # simulation is the planner's hot loop at 1e8 slots).
+    try:
+        from spmv_tpu import native
+
+        if native.available():
+            src_n, starts_n, new_cur_n = native.plan_split(
+                cur, np.ascontiguousarray(grp, np.int32), n_groups,
+                sbt, Q, B0, out_rows, sort_payload)
+            rows_per_g = out_rows // n_groups
+            base0s = B0[:, 0, 0]
+            if (base0s % (blk_rows * LANES)).any():
+                raise ValueError(
+                    "region start not aligned to quota blocks")
+            if (base0s + blk_rows * LANES > rows_per_g * LANES).any():
+                raise ValueError("quota block exceeds the group region")
+            pos_n = (base0s // (blk_rows * LANES)).astype(np.int32)
+            p = SplitPass(
+                n_steps=n_steps, sbt=sbt, K=n_groups, Q=Q,
+                in_rows=slots // LANES, out_rows=out_rows,
+                stitch=stitch, s1=src_n, s2=None, s3=None,
+                starts=starts_n, pos=pos_n)
+            return p, new_cur_n
+    except NotImplementedError:
+        pass
+
     # Per-tile processing: each tile's 16K-element sort + group walk
     # stays L2-resident, which measures ~2x faster end-to-end than a
     # fully vectorized global argsort over 1e8+ slots (profiled at
     # 100M nnz, round 2).
+    new_cur = np.full(out_rows * LANES, -1, dtype=np.int64)
     src = np.full((n_tiles, LANES, LANES), -1, dtype=np.int32)
     cur_t = cur.reshape(n_tiles, TILE)
     g_t = g_eff.reshape(n_tiles, TILE)
@@ -237,7 +264,8 @@ def plan_shuffle_multi(dst_pos: np.ndarray, n_final_tiles: int,
               + (np.arange(sbt, dtype=np.int64) * q * LANES)[None, None, :])
 
         p, cur = _plan_split(cur, grp_slot, G, sbt, q, "concat", B0,
-                             out_rows=nreg_out * r_tiles * LANES)
+                             out_rows=nreg_out * r_tiles * LANES,
+                             sort_payload=False)
         passes.append(p)
         radix *= G
         nreg = nreg_out
@@ -306,6 +334,16 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
     cap = lambda q: q * LANES - (LANES - 1)
     _log = log or (lambda m: None)
     last_err = None
+    # Kappa hint for the caller: min violation ratio among failed
+    # constraints that scale with final-tile fill (callers shrink
+    # their tile capacity by this factor and retry, skipping the
+    # kappas in between — see build_stream_plan).
+    shrink_hint = [None]
+
+    def _note_shrink(ratio):
+        if ratio > 1 and (shrink_hint[0] is None
+                          or ratio < shrink_hint[0]):
+            shrink_hint[0] = float(ratio)
 
     def _fits1(G, q1):
         c = np.bincount(st_t * G + (dt % G), minlength=1)
@@ -328,6 +366,7 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
                 ((st_t // sbt) * sbt * q1) // LANES
             c2 = np.bincount(mid * g_size + (dt // G), minlength=1)
             if int(c2.max()) > cap(q2):
+                _note_shrink(int(c2.max()) / cap(q2))
                 continue
             _log(f"2-pass attempt G={G} q1={q1}")
             try:
@@ -382,6 +421,7 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
             _log(f"3-pass q=({q1},{q2}) G=({G1},{G2},{g3}) "
                  f"r=({r1},{r2}) level3_ok={ok3}")
             if not ok3:
+                _note_shrink(int(c3.max()) / cap(q3))
                 break  # level-3 concentration barely depends on G1/G2
             try:
                 return plan_shuffle_multi(
@@ -421,6 +461,7 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
         if est_l4 > 0.8 * cap(q4):
             _log(f"4-pass q=({q1},{q23}): level-4 estimate "
                  f"{est_l4:.0f} vs cap {cap(q4)} — need smaller tiles")
+            _note_shrink(est_l4 / (0.8 * cap(q4)))
             continue
         g1_0 = max(2, int(-(-tile_live.max() // cap(q1))))
         tried_g1 = 0
@@ -464,6 +505,7 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
                     if c4m > cap(q4):
                         _log(f"4-pass G=({G1},{G2},{G3},{g4}): level-4 "
                              f"max {c4m} > {cap(q4)}")
+                        _note_shrink(c4m / cap(q4))
                         continue
                     _log(f"4-pass attempt q=({q1},{q23}) "
                          f"G=({G1},{G2},{G3},{g4}) r=({r1},{r2},{r3})")
@@ -476,7 +518,9 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
                     except ValueError as e:
                         last_err = e
                         _log(f"  -> plan failed: {e}")
-    raise ValueError(f"no feasible shuffle geometry: {last_err}")
+    err = ValueError(f"no feasible shuffle geometry: {last_err}")
+    err.shrink = shrink_hint[0]
+    raise err
 
 
 def _split_kernel(sbt: int, K: int, Q: int):

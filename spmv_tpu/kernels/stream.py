@@ -430,10 +430,13 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     last_err: Optional[Exception] = None
     plan_sh = None
     walk = None
-    for kappa in (policy.kappa, 12288, 10240, 8192, 6144, 4096, 3072,
-                  2048, 1024, 512, 256):
-        if kappa > policy.kappa:
-            continue
+    kappas = [k for k in (policy.kappa, 12288, 10240, 8192, 6144, 4096,
+                          3072, 2048, 1024, 512, 256)
+              if k <= policy.kappa]
+    ki = 0
+    while ki < len(kappas):
+        kappa = kappas[ki]
+        ki += 1
         k_starts, bins, r_starts, lrows = _final_tile_walk(
             Ap, row_ids, kappa)
         F = k_starts.shape[0] - 1
@@ -453,6 +456,16 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         except ValueError as e:
             last_err = e
             plan_sh = None
+            # Failed constraints that scale with tile fill report the
+            # violation ratio; jump straight to a kappa that can pass
+            # instead of stepping through ones that provably cannot.
+            shrink = getattr(e, "shrink", None)
+            if shrink and shrink > 1:
+                target = kappa / shrink
+                while ki < len(kappas) - 1 and kappas[ki] > target:
+                    _log(f"kappa={kappas[ki]} skipped "
+                         f"(needs <= {target:.0f})")
+                    ki += 1
 
         if plan_sh is not None:
             try:

@@ -104,6 +104,10 @@ def _load():
         lib.spmv_ell_fill.argtypes = [I64, P64, P64, I64, I64, I64, P64, PU8, P32]
         lib.spmv_ell_fill.restype = ctypes.c_int
         lib.spmv_route_tiles.argtypes = [I64, P32, PU8, PU8, PU8, ctypes.c_int32]
+        lib.spmv_plan_split.argtypes = [
+            I64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, P64, P32, P64, I64, P32, P32, P64]
+        lib.spmv_plan_split.restype = ctypes.c_int
         lib.spmv_route_tiles.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -233,3 +237,28 @@ def route_tiles(src: np.ndarray, dedupe: bool = True):
     if rc != 0:
         raise ValueError(_err(lib))
     return s1, s2, s3
+
+
+def plan_split(cur, grp, n_groups: int, sbt: int, Q: int,
+               B0, out_rows: int, sort_payload: bool):
+    """Native one-pass shuffle split simulation (see
+    kernels/shuffle.py _plan_split). Returns (src, starts, new_cur)."""
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("native library unavailable")
+    TILE = 128 * 128
+    cur = np.ascontiguousarray(cur, dtype=np.int64)
+    grp = np.ascontiguousarray(grp, dtype=np.int32)
+    B0 = np.ascontiguousarray(B0, dtype=np.int64)
+    n_tiles = cur.shape[0] // TILE
+    n_steps = n_tiles // sbt
+    src = np.empty(n_tiles * TILE, dtype=np.int32)
+    starts = np.zeros(n_steps * sbt * n_groups, dtype=np.int32)
+    new_cur = np.empty(out_rows * 128, dtype=np.int64)
+    rc = lib.spmv_plan_split(
+        n_tiles, sbt, n_groups, Q, 1 if sort_payload else 0,
+        cur, grp, B0.reshape(-1), out_rows, src, starts, new_cur)
+    if rc != 0:
+        raise ValueError(_err(lib))
+    return (src.reshape(n_tiles, 128, 128),
+            starts.reshape(n_steps, sbt, n_groups), new_cur)

@@ -16,6 +16,7 @@
 // the caller (NumPy) except the parse result, which the library
 // allocates and the caller releases with spmv_free().
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -650,6 +651,104 @@ int spmv_route_tiles(int64_t T, const int32_t* src,
   }
   std::free(stamp); std::free(eid); std::free(eu); std::free(ev);
   std::free(ec1); std::free(group); std::free(slot_edge); std::free(scratch);
+  return rc;
+}
+
+// One shuffle split pass simulation (the planner's hot loop; mirror of
+// the Python loop in kernels/shuffle.py _plan_split).
+//
+// cur: (n_tiles*16384,) int64 payload per slot, -1 junk.
+// grp: (n_tiles*16384,) int32 destination group (ignored where junk).
+// B0:  (n_steps, n_groups, sbt) int64 flat output base per window.
+// sort_payload: 1 -> order within each (tile, group) by ascending
+//   payload (required for the FINAL pass, whose in-tile order defines
+//   the scan's chunk runs); 0 -> stable slot order within groups
+//   (sufficient for mid passes: feasibility and tile placement depend
+//   only on per-(tile,group) counts).
+// Outputs: src (n_tiles*16384 int32, -1 filled), starts
+// (n_steps*sbt*n_groups int32), new_cur (out_rows*128 int64, -1
+// filled). Returns 0, or -1 with the error message set.
+int spmv_plan_split(int64_t n_tiles, int32_t sbt, int32_t n_groups,
+                    int32_t Q, int32_t sort_payload,
+                    const int64_t* cur, const int32_t* grp,
+                    const int64_t* B0, int64_t out_rows,
+                    int32_t* src, int32_t* starts, int64_t* new_cur) {
+  const int T = 16384, L = 128;
+  if (n_groups <= 0 || n_groups > T) return fail("plan_split: bad n_groups");
+  std::memset(src, 0xFF, (size_t)n_tiles * T * sizeof(int32_t));
+  std::memset(new_cur, 0xFF, (size_t)out_rows * L * sizeof(int64_t));
+  int32_t* order = (int32_t*)std::malloc(T * sizeof(int32_t));
+  int32_t* tmp = (int32_t*)std::malloc(T * sizeof(int32_t));
+  int64_t* cnt = (int64_t*)std::malloc((n_groups + 2) * sizeof(int64_t));
+  int64_t* posb = (int64_t*)std::malloc((n_groups + 2) * sizeof(int64_t));
+  if (!order || !tmp || !cnt || !posb) {
+    std::free(order); std::free(tmp); std::free(cnt); std::free(posb);
+    return fail("plan_split: out of memory");
+  }
+  int rc = 0;
+  for (int64_t t = 0; t < n_tiles && rc == 0; ++t) {
+    const int64_t* cur_t = cur + t * T;
+    const int32_t* grp_t = grp + t * T;
+    // counting sort of slot indices by effective group (junk last)
+    std::memset(cnt, 0, (n_groups + 2) * sizeof(int64_t));
+    for (int i = 0; i < T; ++i) {
+      int g = (cur_t[i] >= 0) ? grp_t[i] : n_groups;
+      if (g < 0 || g > n_groups) { rc = fail("plan_split: group range"); break; }
+      cnt[g]++;
+    }
+    if (rc != 0) break;
+    posb[0] = 0;
+    for (int g = 0; g <= n_groups; ++g) posb[g + 1] = posb[g] + cnt[g];
+    int64_t n_live = posb[n_groups];
+    {
+      int64_t cursor[4098];
+      int64_t* cp = (n_groups + 1 <= 4096)
+                        ? cursor
+                        : (int64_t*)std::malloc((n_groups + 2) * 8);
+      std::memcpy(cp, posb, (n_groups + 1) * sizeof(int64_t));
+      for (int i = 0; i < T; ++i) {
+        int g = (cur_t[i] >= 0) ? grp_t[i] : n_groups;
+        order[cp[g]++] = i;
+      }
+      if (cp != cursor) std::free(cp);
+    }
+    if (sort_payload) {
+      // within-group payload sort: LSB radix (4x8 bits) on the 32-bit
+      // payload rank is overkill for <=16K elements; std::sort on the
+      // group slices is simpler and fast enough for the single final
+      // pass (~16K log 16K int compares).
+      for (int g = 0; g < n_groups; ++g) {
+        std::sort(order + posb[g], order + posb[g + 1],
+                  [cur_t](int32_t a, int32_t b) {
+                    return cur_t[a] < cur_t[b];
+                  });
+      }
+    }
+    int32_t* src_t = src + t * T;
+    for (int64_t i = 0; i < n_live; ++i) src_t[i] = order[i];
+    int64_t step = t / sbt, j = t % sbt;
+    for (int g = 0; g < n_groups && rc == 0; ++g) {
+      int64_t b = posb[g], c = cnt[g];
+      int64_t st = b / L;
+      if (st > L - Q) st = L - Q;
+      if (c && (b + c) > (st + Q) * L) {
+        rc = fail("split quota overflow (tile/group window)");
+        break;
+      }
+      starts[(step * sbt + j) * n_groups + g] = (int32_t)st;
+      if (c) {
+        int64_t base = B0[(step * n_groups + g) * sbt + j];
+        int64_t dst = base + (b - st * L);
+        if (dst < 0 || dst + c > out_rows * (int64_t)L) {
+          rc = fail("plan_split: destination out of range");
+          break;
+        }
+        for (int64_t i = 0; i < c; ++i)
+          new_cur[dst + i] = cur_t[order[b + i]];
+      }
+    }
+  }
+  std::free(order); std::free(tmp); std::free(cnt); std::free(posb);
   return rc;
 }
 
