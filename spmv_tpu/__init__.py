@@ -42,6 +42,7 @@ from spmv_tpu import kernels as _kernels  # noqa: F401
 from spmv_tpu.kernels.spmm import spmm
 from spmv_tpu.kernels.spgemm import spgemm
 from spmv_tpu.kernels.trisolve import sptrsv, ilu0, ilu0_apply
+from spmv_tpu.solvers import cg, bicgstab
 from spmv_tpu.io.matrix_market import read_matrix_market, write_matrix_market
 
 __version__ = "0.1.0"
@@ -66,6 +67,8 @@ __all__ = [
     "sptrsv",
     "ilu0",
     "ilu0_apply",
+    "cg",
+    "bicgstab",
     "spmv_ref",
     "spmv_ref_semiring",
     "read_matrix_market",

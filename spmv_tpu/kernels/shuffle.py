@@ -201,7 +201,7 @@ def plan_shuffle(dst_pos: np.ndarray, n_final_tiles: int, n_regions: int,
 
 
 def plan_shuffle_multi(dst_pos: np.ndarray, n_final_tiles: int,
-                       levels, sbt: int = 8) -> ShufflePlan:
+                       levels, sbt: int = 8, log=None) -> ShufflePlan:
     """Plan an N-pass shuffle.
 
     dst_pos: (in_rows*128,) int64; per input slot, the requested
@@ -303,6 +303,9 @@ def plan_shuffle_multi(dst_pos: np.ndarray, n_final_tiles: int,
     # All quotas fit: now pay for the per-tile 3-stage routing.
     # Split perms are injective per tile (sorted distinct sources) —
     # skip the dedup pass.
+    if log:
+        log(f"split sim done; routing "
+            f"{sum(p.s1.shape[0] for p in passes)} tiles")
     for p in passes:
         s1, s2, s3 = route_tiles(p.s1, dedupe=False)
         p.s1 = s1.reshape(-1, LANES)
@@ -426,7 +429,7 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
             try:
                 return plan_shuffle_multi(
                     dst_pos, F, levels=[(G1, q1, r1), (G2, q2, r2)],
-                    sbt=sbt)
+                    sbt=sbt, log=log)
             except ValueError as e:
                 last_err = e
                 _log(f"  -> plan failed: {e}")
@@ -514,7 +517,7 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
                             dst_pos, F,
                             levels=[(G1, q1, r1), (G2, q23, r2),
                                     (G3, q23, r3)],
-                            sbt=sbt)
+                            sbt=sbt, log=log)
                     except ValueError as e:
                         last_err = e
                         _log(f"  -> plan failed: {e}")

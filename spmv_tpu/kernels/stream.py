@@ -468,6 +468,7 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
                     ki += 1
 
         if plan_sh is not None:
+            _log(f"kappa={kappa} shuffle planned; scan planning")
             try:
                 scan = _plan_scan(plan_sh, k_starts, bins, r_starts,
                                   lrows, row_ids)
@@ -524,6 +525,7 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
 
     Ax_slots = np.where(slot_src >= 0, Ax[np.clip(slot_src, 0, nnz - 1)], 0)
 
+    _log("host planning done; uploading device arrays")
     from spmv_tpu.utils.transfer import device_put_chunked as dput
 
     gather_dev = {

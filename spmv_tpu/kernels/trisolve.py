@@ -174,11 +174,18 @@ def ilu0(A: CSR):
     a = np.array(np.asarray(A.Ax), dtype=np.float64)  # working copy
     n = A.n_rows
 
-    # position lookup per row: col -> nnz index
+    # position lookup per row: col -> nnz index. Duplicate stored
+    # positions cannot be represented (SpMV sums them; a pattern map
+    # cannot) — refuse rather than factor a different matrix.
     col_pos = [dict() for _ in range(n)]
     for i in range(n):
         for t in range(Ap[i], Ap[i + 1]):
-            col_pos[i][int(Aj[t])] = t
+            j = int(Aj[t])
+            if j in col_pos[i]:
+                raise ValueError(
+                    f"ilu0: duplicate stored entry ({i}, {j}); "
+                    f"sum duplicates before factorizing")
+            col_pos[i][j] = t
 
     for i in range(n):
         if i not in col_pos[i]:
