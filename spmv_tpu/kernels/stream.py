@@ -267,6 +267,24 @@ def _plan_scan(plan_sh: ShufflePlan, k_starts, bins, r_starts, lrows,
     """
     F = k_starts.shape[0] - 1
     P = BIN_ROWS // LANES
+
+    # Native fast path: the per-tile loop in C (same streams; the
+    # "scan capacity" ValueError propagates for the kappa retry).
+    try:
+        from spmv_tpu import native
+
+        if native.available():
+            (cid_s, rel2_s, src1c, src1p, src2, valid2, first_idx,
+             cmask, climit, fuse_ok) = native.plan_scan(
+                np.asarray(k_starts, np.int64),
+                np.asarray(bins, np.int32),
+                plan_sh.slot_of_dst, np.asarray(row_ids, np.int64),
+                BIN_ROWS)
+            return _scan_route_streams(
+                F, cid_s, rel2_s, src1c, src1p, src2, valid2,
+                first_idx, cmask, climit, fuse_ok)
+    except NotImplementedError:
+        pass
     cid_s = np.zeros((F, TILE), dtype=np.int16)
     rel2_s = np.zeros((F, TILE), dtype=np.int16)
     src1c = np.full((F, LANES, LANES), -1, dtype=np.int32)
@@ -358,6 +376,13 @@ def _plan_scan(plan_sh: ShufflePlan, k_starts, bins, r_starts, lrows,
         if rels.shape[0] > 1:
             s2[HALF + rels[1:]] = pos[:-1]
         valid2[f].reshape(-1)[rels] = 1
+    return _scan_route_streams(F, cid_s, rel2_s, src1c, src1p, src2,
+                               valid2, first_idx, cmask, climit, fuse_ok)
+
+
+def _scan_route_streams(F, cid_s, rel2_s, src1c, src1p, src2, valid2,
+                        first_idx, cmask, climit, fuse_ok):
+    """Shared tail of _plan_scan: 3-stage-route the stream sources."""
     if fuse_ok:
         src1f = np.full((F, LANES * LANES), -1, dtype=np.int32)
         src1f[:, :HALF] = src1c.reshape(F, -1)[:, :HALF]

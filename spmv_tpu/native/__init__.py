@@ -108,6 +108,13 @@ def _load():
             I64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, P64, P32, P64, I64, P32, P32, P64]
         lib.spmv_plan_split.restype = ctypes.c_int
+        P16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        PI8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.spmv_plan_scan.argtypes = [
+            I64, P64, P32, P64, P64, ctypes.c_int32,
+            P16, P16, P32, P32, P32, PI8, P32, P32, P32,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.spmv_plan_scan.restype = ctypes.c_int
         lib.spmv_route_tiles.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -262,3 +269,39 @@ def plan_split(cur, grp, n_groups: int, sbt: int, Q: int,
         raise ValueError(_err(lib))
     return (src.reshape(n_tiles, 128, 128),
             starts.reshape(n_steps, sbt, n_groups), new_cur)
+
+
+def plan_scan(k_starts, bins, slot_of_dst, row_ids, bin_rows: int):
+    """Native per-final-tile scan stream construction (see
+    kernels/stream.py _plan_scan). Returns the stream dict pieces
+    before routing: (cid, rel2, src1c, src1p, src2, valid2,
+    first_idx, cmask, climit, fuse_ok)."""
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("native library unavailable")
+    TILE = 128 * 128
+    F = k_starts.shape[0] - 1
+    P = bin_rows // 128
+    k_starts = np.ascontiguousarray(k_starts, np.int64)
+    bins = np.ascontiguousarray(bins, np.int32)
+    slot_of_dst = np.ascontiguousarray(slot_of_dst, np.int64)
+    row_ids = np.ascontiguousarray(row_ids, np.int64)
+    cid = np.empty((F, TILE), np.int16)
+    rel2 = np.empty((F, TILE), np.int16)
+    src1c = np.empty((F, 128, 128), np.int32)
+    src1p = np.empty((F, 128, 128), np.int32)
+    src2 = np.empty((F, 128, 128), np.int32)
+    valid2 = np.empty((F, P, 128), np.int8)
+    first_idx = np.zeros(F, np.int32)
+    cmask = np.zeros(F, np.int32)
+    climit = np.zeros(F, np.int32)
+    fuse = ctypes.c_int32(1)
+    rc = lib.spmv_plan_scan(
+        F, k_starts, bins, slot_of_dst.reshape(-1), row_ids, bin_rows,
+        cid.reshape(-1), rel2.reshape(-1), src1c.reshape(-1),
+        src1p.reshape(-1), src2.reshape(-1), valid2.reshape(-1),
+        first_idx, cmask, climit, ctypes.byref(fuse))
+    if rc != 0:
+        raise ValueError(_err(lib))
+    return (cid, rel2, src1c, src1p, src2, valid2, first_idx, cmask,
+            climit, bool(fuse.value))

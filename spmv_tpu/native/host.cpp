@@ -844,4 +844,178 @@ int spmv_plan_split(int64_t n_tiles, int32_t sbt, int32_t n_groups,
   return rc;
 }
 
+// Scan-stream planner: per-final-tile chunk/route stream construction
+// (mirror of the Python loop in kernels/stream.py _plan_scan; see its
+// docstring for the layout contract). One pass per tile, all O(TILE).
+//
+// Inputs: k_starts (F+1), bins (F), slot_of_dst (F*16384, the
+// shuffle's simulated placement), row_ids (nnz). Outputs are the scan
+// streams: cid/rel2 (F*16384 i16), route sources src1c/src1p/src2
+// (F*16384 i32, -1 filled), valid2 (F*8192 i8), first_idx/cmask/
+// climit (F i32), fuse_ok (1 i32, AND over tiles).
+//
+// The fuse degree check exploits structure instead of sorting pairs:
+// C-half keys (end slot, dest row<64) are distinct (chunk end slots
+// are distinct), P-half keys live in dest rows >= 64 (disjoint from
+// C), and within the P half only the clamped first chunk can
+// duplicate a key (same predecessor slot twice) — an O(1) correction.
+int spmv_plan_scan(int64_t F, const int64_t* k_starts, const int32_t* bins,
+                   const int64_t* slot_of_dst, const int64_t* row_ids,
+                   int32_t bin_rows,
+                   int16_t* cid_s, int16_t* rel2_s,
+                   int32_t* src1c, int32_t* src1p, int32_t* src2,
+                   int8_t* valid2, int32_t* first_idx, int32_t* cmask,
+                   int32_t* climit, int32_t* fuse_ok) {
+  const int T = 16384, L = 128, HALFC = T / 2;
+  const int P = bin_rows / L;  // dest rows per half
+  std::memset(src1c, 0xFF, (size_t)F * T * sizeof(int32_t));
+  std::memset(src1p, 0xFF, (size_t)F * T * sizeof(int32_t));
+  std::memset(src2, 0xFF, (size_t)F * T * sizeof(int32_t));
+  std::memset(valid2, 0, (size_t)F * (size_t)(P * L));
+  *fuse_ok = 1;
+  int32_t* pos2rank = (int32_t*)std::malloc(T * sizeof(int32_t));
+  int32_t* epos = (int32_t*)std::malloc((HALFC + 1) * sizeof(int32_t));
+  int32_t* erel = (int32_t*)std::malloc((HALFC + 1) * sizeof(int32_t));
+  int32_t* eorder = (int32_t*)std::malloc((HALFC + 1) * sizeof(int32_t));
+  int32_t* relcnt = (int32_t*)std::malloc((bin_rows + 1) * sizeof(int32_t));
+  int32_t* rowcnt = (int32_t*)std::malloc(L * sizeof(int32_t));
+  if (!pos2rank || !epos || !erel || !eorder || !relcnt || !rowcnt) {
+    std::free(pos2rank); std::free(epos); std::free(erel);
+    std::free(eorder); std::free(relcnt); std::free(rowcnt);
+    return fail("plan_scan: out of memory");
+  }
+  int rc = 0;
+  for (int64_t f = 0; f < F && rc == 0; ++f) {
+    int64_t a = k_starts[f], b = k_starts[f + 1];
+    int64_t m = b - a;
+    if (m <= 0 || m > T) { rc = fail("plan_scan: bad tile size"); break; }
+    const int64_t* sod = slot_of_dst + f * T;
+    int64_t rel_base = (int64_t)bins[f] * bin_rows;
+    std::memset(pos2rank, 0xFF, T * sizeof(int32_t));
+    for (int64_t i = 0; i < m; ++i) {
+      int64_t s = sod[i] - f * T;
+      if (s < 0 || s >= T) {
+        rc = fail("plan_scan: shuffle placed a rank outside its tile");
+        break;
+      }
+      pos2rank[s] = (int32_t)i;
+    }
+    if (rc != 0) break;
+    // slot-order walk: chunk ids, chunk ends, cid fill stream
+    int16_t* cid_t = cid_s + f * T;
+    int E = 0;
+    int32_t prev_rel = -1, last_cid = -1, prev_live_slot = -1;
+    for (int s = 0; s < T; ++s) {
+      int32_t i = pos2rank[s];
+      if (i < 0) {
+        cid_t[s] = (int16_t)((last_cid < 0 ? 0 : last_cid) + T);
+        continue;
+      }
+      int32_t rel = (int32_t)(row_ids[a + i] - rel_base);
+      if (rel < 0 || rel >= bin_rows) {
+        rc = fail("plan_scan: rel out of bin range");
+        break;
+      }
+      if (last_cid < 0 || rel != prev_rel) {
+        if (last_cid >= 0) { epos[E - 1] = prev_live_slot; }
+        if (E >= HALFC) break;  // capacity; checked below
+        erel[E] = rel;
+        ++E;
+        ++last_cid;
+      }
+      cid_t[s] = (int16_t)last_cid;
+      prev_rel = rel;
+      prev_live_slot = s;
+    }
+    if (rc != 0) break;
+    if (E + 1 > HALFC) {
+      std::snprintf(g_err, sizeof(g_err),
+                    "scan capacity: %d chunks in tile %lld exceed %d",
+                    E, (long long)f, HALFC - 1);
+      rc = -1;
+      break;
+    }
+    epos[E - 1] = prev_live_slot;  // close the final chunk
+    // rel-sorted chunk order (stable counting sort over rel)
+    std::memset(relcnt, 0, (bin_rows + 1) * sizeof(int32_t));
+    for (int c = 0; c < E; ++c) relcnt[erel[c] + 1]++;
+    for (int r = 0; r < bin_rows; ++r) relcnt[r + 1] += relcnt[r];
+    for (int c = 0; c < E; ++c) eorder[relcnt[erel[c]]++] = c;
+    // compact layout stride (power of two)
+    int stride = 1;
+    while (stride * 2 * (E + 1) <= HALFC - 1) stride *= 2;
+    cmask[f] = stride - 1;
+    climit[f] = 1 + E * stride;
+    int32_t* c1 = src1c + f * T;
+    int32_t* p1 = src1p + f * T;
+    int32_t* s2 = src2 + f * T;
+    int8_t* v2 = valid2 + f * (int64_t)(P * L);
+    int16_t* rel2_t = rel2_s + f * T;
+    std::memset(rowcnt, 0, L * sizeof(int32_t));
+    // P-half duplicate correction state: predecessor slot and dest
+    // rows of the two clamp-affected ranks (chunk 0 and chunk 1)
+    int clamp_drow[2] = {-1, -2};
+    for (int i = 0; i < E; ++i) {
+      int c = eorder[i];
+      int p = 1 + i * stride;
+      c1[p] = epos[c];
+      int pc = c > 0 ? c - 1 : 0;
+      p1[p] = epos[pc];
+      if (c == 0) { clamp_drow[0] = p / L; first_idx[f] = p; }
+      if (c == 1) { clamp_drow[1] = p / L; }
+      rowcnt[epos[c] >> 7]++;        // C-half key (distinct)
+      rowcnt[epos[pc] >> 7]++;       // P-half key (may dup on clamp)
+    }
+    if (clamp_drow[0] == clamp_drow[1] && E > 1)
+      rowcnt[epos[0] >> 7]--;        // identical (slot, drow) pair
+    for (int r = 0; r < L; ++r)
+      if (rowcnt[r] > L) { *fuse_ok = 0; break; }
+    // rel2 fill stream + route2 two-half sources
+    // (walk compact positions ascending == rel ascending)
+    {
+      int prev_runpos = -1;  // p of the previous present rel's LAST chunk
+      int cur_val = E ? erel[eorder[0]] : 0;
+      int nxt = 0;           // next compact index to emit
+      int32_t run_rel = -1, run_lastp = -1;
+      for (int i = 0; i < E; ++i) {
+        int c = eorder[i];
+        int p = 1 + i * stride;
+        int32_t r = erel[c];
+        if (r != run_rel) {
+          if (run_rel >= 0) {
+            s2[run_rel] = run_lastp;
+            s2[HALFC + run_rel] = prev_runpos < 0 ? 0 : prev_runpos;
+            v2[run_rel] = 1;
+            prev_runpos = run_lastp;
+          }
+          run_rel = r;
+        }
+        run_lastp = p;
+      }
+      if (run_rel >= 0) {
+        s2[run_rel] = run_lastp;
+        s2[HALFC + run_rel] = prev_runpos < 0 ? 0 : prev_runpos;
+        v2[run_rel] = 1;
+      }
+      // rel2: value at each compact position, junk = fill-fwd + 16384
+      int32_t fillv = E ? erel[eorder[0]] : 0;
+      (void)cur_val; (void)nxt;
+      int ci = 0;
+      for (int s = 0; s < T; ++s) {
+        int in_compact = (ci < E) && (s == 1 + ci * stride);
+        if (in_compact) {
+          fillv = erel[eorder[ci]];
+          rel2_t[s] = (int16_t)fillv;
+          ++ci;
+        } else {
+          rel2_t[s] = (int16_t)(fillv + T);
+        }
+      }
+    }
+  }
+  std::free(pos2rank); std::free(epos); std::free(erel);
+  std::free(eorder); std::free(relcnt); std::free(rowcnt);
+  return rc;
+}
+
 }  // extern "C"

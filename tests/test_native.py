@@ -210,3 +210,74 @@ class TestEllChunks:
             np.testing.assert_array_equal(
                 np.asarray(getattr(nat, f)), np.asarray(getattr(ref, f)),
                 err_msg=f)
+
+
+class TestPlanScan:
+    def test_streams_match_python(self):
+        """Native spmv_plan_scan produces the exact same scan streams
+        as the Python per-tile loop (routes are compared upstream by
+        the routing tests; colorings may legitimately differ)."""
+        from spmv_tpu import native
+        from spmv_tpu.kernels import stream as st
+        from spmv_tpu.kernels.shuffle import plan_shuffle_auto
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+
+        nnz, n_rows = 400_000, 1 << 16
+        A = power_law_csr(n_rows, n_rows, nnz, alpha=1.5, seed=7)
+        Ap = np.asarray(A.Ap, np.int64)
+        Aj = np.asarray(A.Aj, np.int64)
+        row_ids = np.repeat(np.arange(A.n_rows, dtype=np.int64),
+                            Ap[1:] - Ap[:-1])
+        x_blocks_pad = -(-A.n_cols // (128 * 128))
+        slot_src, _, xb, _ = st._plan_gather(
+            Aj, st.DEFAULT_POLICY, x_blocks_pad)
+        pad_tiles = max(128, -(-xb.shape[0] // 128) * 128)
+        padn = pad_tiles - xb.shape[0]
+        if padn:
+            slot_src = np.concatenate(
+                [slot_src, np.full(padn * st.TILE, -1, np.int64)])
+        kappa = 3072
+        k_starts, bins, r_starts, lrows = st._final_tile_walk(
+            Ap, row_ids, kappa)
+        F = k_starts.shape[0] - 1
+        ftile = np.searchsorted(k_starts, np.arange(nnz), "right") - 1
+        dst = ftile * st.TILE + (np.arange(nnz) - k_starts[ftile])
+        dst_pos = np.full(slot_src.shape[0], -1, np.int64)
+        live = slot_src >= 0
+        dst_pos[live] = dst[slot_src[live]]
+        plan_sh = plan_shuffle_auto(dst_pos, F, sbt=8)
+
+        caps = []
+        orig = st._scan_route_streams
+
+        def capture(F_, *streams):
+            caps.append(tuple(
+                np.array(s) if isinstance(s, np.ndarray) else s
+                for s in streams))
+            return orig(F_, *streams)
+
+        st._scan_route_streams = capture
+        try:
+            st._plan_scan(plan_sh, k_starts, bins, r_starts, lrows,
+                          row_ids)
+            saved = native.available
+            native.available = lambda: False
+            try:
+                st._plan_scan(plan_sh, k_starts, bins, r_starts, lrows,
+                              row_ids)
+            finally:
+                native.available = saved
+        finally:
+            st._scan_route_streams = orig
+
+        nat, ref = caps
+        names = ("cid", "rel2", "src1c", "src1p", "src2", "valid2",
+                 "first_idx", "cmask", "climit", "fuse_ok")
+        for name, a, b in zip(names, nat, ref):
+            if name == "fuse_ok":
+                assert a == b
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=name)
