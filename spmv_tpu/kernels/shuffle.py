@@ -73,7 +73,8 @@ class ShufflePlan:
 def _plan_split(cur: np.ndarray, grp: np.ndarray, n_groups: int,
                 sbt: int, Q: int, stitch, out_flat_base,
                 out_rows: Optional[int] = None,
-                sort_payload: bool = True):
+                sort_payload: bool = True,
+                level: int = 0):
     """Plan one split pass and simulate its stitched output layout.
 
     cur: (slots,) int64 payload per input slot, -1 junk.
@@ -114,7 +115,7 @@ def _plan_split(cur: np.ndarray, grp: np.ndarray, n_groups: int,
         if native.available():
             src_n, starts_n, new_cur_n = native.plan_split(
                 cur, np.ascontiguousarray(grp, np.int32), n_groups,
-                sbt, Q, B0, out_rows, sort_payload)
+                sbt, Q, B0, out_rows, sort_payload, level=level)
             rows_per_g = out_rows // n_groups
             base0s = B0[:, 0, 0]
             if (base0s % (blk_rows * LANES)).any():
@@ -265,7 +266,7 @@ def plan_shuffle_multi(dst_pos: np.ndarray, n_final_tiles: int,
 
         p, cur = _plan_split(cur, grp_slot, G, sbt, q, "concat", B0,
                              out_rows=nreg_out * r_tiles * LANES,
-                             sort_payload=False)
+                             sort_payload=False, level=len(passes))
         passes.append(p)
         radix *= G
         nreg = nreg_out
@@ -291,7 +292,7 @@ def plan_shuffle_multi(dst_pos: np.ndarray, n_final_tiles: int,
            + (np.arange(sbt, dtype=np.int64) * q_last * LANES)[None, None, :])
 
     p, fin = _plan_split(cur, grp_last, g_size, sbt, q_last, "concat",
-                         B0L, out_rows=F_pad * LANES)
+                         B0L, out_rows=F_pad * LANES, level=len(passes))
     passes.append(p)
 
     slot_of_dst = np.full(F * TILE, -1, dtype=np.int64)
@@ -328,12 +329,11 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
     pad_tiles = slots // TILE
     F = int(n_final_tiles)
     live = dst_pos >= 0
-    dst_tile = np.where(live, dst_pos // TILE, 0)
-    slot_tile = np.arange(slots) // TILE
     # int32 work arrays: all search ids fit, and the feasibility
     # bincounts over ~1e8 elements run ~2x faster
-    dt = dst_tile[live].astype(np.int32)
-    st_t = slot_tile[live].astype(np.int32)
+    dt = (dst_pos[live] // TILE).astype(np.int32)
+    st_t = np.repeat(np.arange(pad_tiles, dtype=np.int32),
+                     TILE)[live]
     cap = lambda q: q * LANES - (LANES - 1)
     _log = log or (lambda m: None)
     last_err = None

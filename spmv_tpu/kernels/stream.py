@@ -467,10 +467,11 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         F = k_starts.shape[0] - 1
         if F == 0:
             raise ValueError("empty matrix; handled by caller")
-        ftile_of_rank = np.searchsorted(k_starts, np.arange(nnz),
-                                        side="right") - 1
-        dst_of_rank = (ftile_of_rank * TILE
-                       + (np.arange(nnz) - k_starts[ftile_of_rank]))
+        sizes = np.diff(k_starts)
+        ftile_of_rank = np.repeat(
+            np.arange(F, dtype=np.int64), sizes)
+        dst_of_rank = (ftile_of_rank * TILE + np.arange(nnz)
+                       - np.repeat(k_starts[:-1], sizes))
         dst_pos = np.full(slot_src.shape[0], -1, dtype=np.int64)
         dst_pos[live] = dst_of_rank[rank_of_slot[live]]
 
