@@ -74,7 +74,7 @@ def _plan_split(cur: np.ndarray, grp: np.ndarray, n_groups: int,
                 sbt: int, Q: int, stitch, out_flat_base,
                 out_rows: Optional[int] = None,
                 sort_payload: bool = True,
-                level: int = 0):
+                level: int = 0, gmode: int = 0, radix: int = 1):
     """Plan one split pass and simulate its stitched output layout.
 
     cur: (slots,) int64 payload per input slot, -1 junk.
@@ -96,7 +96,6 @@ def _plan_split(cur: np.ndarray, grp: np.ndarray, n_groups: int,
         out_rows = n_steps * n_groups * blk_rows
     assert out_rows % n_groups == 0
 
-    g_eff = np.where(cur >= 0, grp, n_groups)  # junk sorts last
     starts = np.zeros((n_steps, sbt, n_groups), dtype=np.int32)
     if not callable(out_flat_base):
         B0 = out_flat_base  # (n_steps, n_groups, sbt) int64 base array
@@ -113,9 +112,12 @@ def _plan_split(cur: np.ndarray, grp: np.ndarray, n_groups: int,
         from spmv_tpu import native
 
         if native.available():
+            grp_c = (np.ascontiguousarray(grp, np.int32)
+                     if gmode == 0 else None)
             src_n, starts_n, new_cur_n = native.plan_split(
-                cur, np.ascontiguousarray(grp, np.int32), n_groups,
-                sbt, Q, B0, out_rows, sort_payload, level=level)
+                cur, grp_c, n_groups,
+                sbt, Q, B0, out_rows, sort_payload, level=level,
+                gmode=gmode, radix=radix)
             rows_per_g = out_rows // n_groups
             base0s = B0[:, 0, 0]
             if (base0s % (blk_rows * LANES)).any():
@@ -137,6 +139,12 @@ def _plan_split(cur: np.ndarray, grp: np.ndarray, n_groups: int,
     # stays L2-resident, which measures ~2x faster end-to-end than a
     # fully vectorized global argsort over 1e8+ slots (profiled at
     # 100M nnz, round 2).
+    if grp is None:  # derived-digit modes (native computes these in C)
+        base = cur // TILE
+        grp = (base // radix) % n_groups if gmode == 1 \
+            else base // radix
+        grp = np.where(cur >= 0, grp, 0)
+    g_eff = np.where(cur >= 0, grp, n_groups)  # junk sorts last
     new_cur = np.full(out_rows * LANES, -1, dtype=np.int64)
     src = np.full((n_tiles, LANES, LANES), -1, dtype=np.int32)
     cur_t = cur.reshape(n_tiles, TILE)
@@ -251,8 +259,8 @@ def plan_shuffle_multi(dst_pos: np.ndarray, n_final_tiles: int,
             raise ValueError(
                 f"region_tiles={r_tiles} too small for {need_rows} quota rows")
         # group id is defined on FINAL tiles; cur holds dst positions,
-        # so compute it per slot from the simulated layout
-        grp_slot = np.where(cur >= 0, ((cur // TILE) // radix) % G, 0)
+        # so it is the radix-digit of the destination tile (computed
+        # per slot inside the split planner: gmode=1)
         region_elems = r_tiles * TILE
         nreg_out = nreg * G
 
@@ -264,9 +272,10 @@ def plan_shuffle_multi(dst_pos: np.ndarray, n_final_tiles: int,
               + (s_in * blk)[:, None, None]
               + (np.arange(sbt, dtype=np.int64) * q * LANES)[None, None, :])
 
-        p, cur = _plan_split(cur, grp_slot, G, sbt, q, "concat", B0,
+        p, cur = _plan_split(cur, None, G, sbt, q, "concat", B0,
                              out_rows=nreg_out * r_tiles * LANES,
-                             sort_payload=False, level=len(passes))
+                             sort_payload=False, level=len(passes),
+                             gmode=1, radix=radix)
         passes.append(p)
         radix *= G
         nreg = nreg_out
@@ -281,7 +290,6 @@ def plan_shuffle_multi(dst_pos: np.ndarray, n_final_tiles: int,
     q_last = LANES // cur_region_tiles
     spp = cur_region_tiles // sbt
     blk = sbt * q_last * LANES
-    grp_last = np.where(cur >= 0, (cur // TILE) // radix, 0)
 
     n_steps_l = cur.shape[0] // (sbt * TILE)
     steps = np.arange(n_steps_l, dtype=np.int64)
@@ -291,15 +299,25 @@ def plan_shuffle_multi(dst_pos: np.ndarray, n_final_tiles: int,
            + (s_in * blk)[:, None, None]
            + (np.arange(sbt, dtype=np.int64) * q_last * LANES)[None, None, :])
 
-    p, fin = _plan_split(cur, grp_last, g_size, sbt, q_last, "concat",
-                         B0L, out_rows=F_pad * LANES, level=len(passes))
+    p, fin = _plan_split(cur, None, g_size, sbt, q_last, "concat",
+                         B0L, out_rows=F_pad * LANES, level=len(passes),
+                         gmode=2, radix=radix)
     passes.append(p)
 
-    slot_of_dst = np.full(F * TILE, -1, dtype=np.int64)
-    liv = fin >= 0
-    fl = fin[liv]
-    keep = fl < F * TILE
-    slot_of_dst[fl[keep]] = np.nonzero(liv)[0][keep]
+    try:
+        from spmv_tpu import native
+
+        if native.available():
+            slot_of_dst = native.scatter_slots(fin, F * TILE)
+            fin = None
+        else:
+            raise NotImplementedError
+    except NotImplementedError:
+        slot_of_dst = np.full(F * TILE, -1, dtype=np.int64)
+        liv = fin >= 0
+        fl = fin[liv]
+        keep = fl < F * TILE
+        slot_of_dst[fl[keep]] = np.nonzero(liv)[0][keep]
 
     # All quotas fit: now pay for the per-tile 3-stage routing.
     # Split perms are injective per tile (sorted distinct sources) —

@@ -106,8 +106,11 @@ def _load():
         lib.spmv_route_tiles.argtypes = [I64, P32, PU8, PU8, PU8, ctypes.c_int32]
         lib.spmv_plan_split.argtypes = [
             I64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, P64, P32, P64, I64, P32, P32, P64]
+            ctypes.c_int32, P64, P32, P64, I64, P32, P32, P64,
+            ctypes.c_int32, I64]
         lib.spmv_plan_split.restype = ctypes.c_int
+        lib.spmv_scatter_slots.argtypes = [I64, P64, I64, P64]
+        lib.spmv_scatter_slots.restype = ctypes.c_int
         P16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
         PI8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
         lib.spmv_plan_scan.argtypes = [
@@ -269,7 +272,7 @@ def clear_arena():
 
 def plan_split(cur, grp, n_groups: int, sbt: int, Q: int,
                B0, out_rows: int, sort_payload: bool,
-               level: int = 0):
+               level: int = 0, gmode: int = 0, radix: int = 1):
     """Native one-pass shuffle split simulation (see
     kernels/shuffle.py _plan_split). Returns (src, starts, new_cur).
 
@@ -284,7 +287,10 @@ def plan_split(cur, grp, n_groups: int, sbt: int, Q: int,
         raise NotImplementedError("native library unavailable")
     TILE = 128 * 128
     cur = np.ascontiguousarray(cur, dtype=np.int64)
-    grp = np.ascontiguousarray(grp, dtype=np.int32)
+    if gmode == 0:
+        grp = np.ascontiguousarray(grp, dtype=np.int32)
+    else:  # groups derived from cur in C; pass a dummy pointer
+        grp = np.zeros(1, dtype=np.int32)
     B0 = np.ascontiguousarray(B0, dtype=np.int64)
     n_tiles = cur.shape[0] // TILE
     n_steps = n_tiles // sbt
@@ -296,11 +302,23 @@ def plan_split(cur, grp, n_groups: int, sbt: int, Q: int,
         new_cur = np.empty(out_rows * 128, np.int64)
     rc = lib.spmv_plan_split(
         n_tiles, sbt, n_groups, Q, 1 if sort_payload else 0,
-        cur, grp, B0.reshape(-1), out_rows, src, starts, new_cur)
+        cur, grp, B0.reshape(-1), out_rows, src, starts, new_cur,
+        gmode, radix)
     if rc != 0:
         raise ValueError(_err(lib))
     return (src.reshape(n_tiles, 128, 128),
             starts.reshape(n_steps, sbt, n_groups), new_cur)
+
+
+def scatter_slots(fin, n_out: int):
+    """slot_of_dst assembly: out[fin[s]] = s for live in-range fin."""
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("native library unavailable")
+    fin = np.ascontiguousarray(fin, np.int64)
+    out = np.empty(n_out, np.int64)
+    lib.spmv_scatter_slots(fin.shape[0], fin, n_out, out)
+    return out
 
 
 def plan_scan(k_starts, bins, slot_of_dst, row_ids, bin_rows: int):

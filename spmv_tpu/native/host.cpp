@@ -760,13 +760,20 @@ int spmv_route_tiles(int64_t T, const int32_t* src,
 // Outputs: src (n_tiles*16384 int32, -1 filled), starts
 // (n_steps*sbt*n_groups int32), new_cur (out_rows*128 int64, -1
 // filled). Returns 0, or -1 with the error message set.
+// gmode: 0 = per-slot group comes from `grp`; 1 = mid-pass digit
+// ((cur/16384)/radix) % n_groups; 2 = final-pass digit
+// (cur/16384)/radix. Modes 1/2 avoid materializing the 100M-element
+// group array on the Python side (page-faulted GB temporaries cost
+// more than this whole simulation).
 int spmv_plan_split(int64_t n_tiles, int32_t sbt, int32_t n_groups,
                     int32_t Q, int32_t sort_payload,
                     const int64_t* cur, const int32_t* grp,
                     const int64_t* B0, int64_t out_rows,
-                    int32_t* src, int32_t* starts, int64_t* new_cur) {
+                    int32_t* src, int32_t* starts, int64_t* new_cur,
+                    int32_t gmode, int64_t radix) {
   const int T = 16384, L = 128;
   if (n_groups <= 0 || n_groups > T) return fail("plan_split: bad n_groups");
+  if (gmode != 0 && radix <= 0) return fail("plan_split: bad radix");
   std::memset(src, 0xFF, (size_t)n_tiles * T * sizeof(int32_t));
   std::memset(new_cur, 0xFF, (size_t)out_rows * L * sizeof(int64_t));
   int32_t* order = (int32_t*)std::malloc(T * sizeof(int32_t));
@@ -778,14 +785,25 @@ int spmv_plan_split(int64_t n_tiles, int32_t sbt, int32_t n_groups,
     return fail("plan_split: out of memory");
   }
   int rc = 0;
+  // per-tile group cache: computed once for both walks below
+  int32_t* gbuf = (int32_t*)std::malloc(T * sizeof(int32_t));
+  if (!gbuf) {
+    std::free(order); std::free(tmp); std::free(cnt); std::free(posb);
+    return fail("plan_split: out of memory");
+  }
   for (int64_t t = 0; t < n_tiles && rc == 0; ++t) {
     const int64_t* cur_t = cur + t * T;
     const int32_t* grp_t = grp + t * T;
     // counting sort of slot indices by effective group (junk last)
     std::memset(cnt, 0, (n_groups + 2) * sizeof(int64_t));
     for (int i = 0; i < T; ++i) {
-      int g = (cur_t[i] >= 0) ? grp_t[i] : n_groups;
+      int g;
+      if (cur_t[i] < 0) g = n_groups;
+      else if (gmode == 1) g = (int)(((cur_t[i] / T) / radix) % n_groups);
+      else if (gmode == 2) g = (int)((cur_t[i] / T) / radix);
+      else g = grp_t[i];
       if (g < 0 || g > n_groups) { rc = fail("plan_split: group range"); break; }
+      gbuf[i] = g;
       cnt[g]++;
     }
     if (rc != 0) break;
@@ -798,10 +816,7 @@ int spmv_plan_split(int64_t n_tiles, int32_t sbt, int32_t n_groups,
                         ? cursor
                         : (int64_t*)std::malloc((n_groups + 2) * 8);
       std::memcpy(cp, posb, (n_groups + 1) * sizeof(int64_t));
-      for (int i = 0; i < T; ++i) {
-        int g = (cur_t[i] >= 0) ? grp_t[i] : n_groups;
-        order[cp[g]++] = i;
-      }
+      for (int i = 0; i < T; ++i) order[cp[gbuf[i]]++] = i;
       if (cp != cursor) std::free(cp);
     }
     if (sort_payload) {
@@ -841,7 +856,21 @@ int spmv_plan_split(int64_t n_tiles, int32_t sbt, int32_t n_groups,
     }
   }
   std::free(order); std::free(tmp); std::free(cnt); std::free(posb);
+  std::free(gbuf);
   return rc;
+}
+
+// slot_of_dst assembly: out[fin[s]] = s for live fin entries within
+// range (the 1-2 GB fancy-index chain this replaces page-faults five
+// temporaries at 100M nnz).
+int spmv_scatter_slots(int64_t n_fin, const int64_t* fin,
+                       int64_t n_out, int64_t* out) {
+  std::memset(out, 0xFF, (size_t)n_out * sizeof(int64_t));
+  for (int64_t s = 0; s < n_fin; ++s) {
+    int64_t d = fin[s];
+    if (d >= 0 && d < n_out) out[d] = s;
+  }
+  return 0;
 }
 
 // Scan-stream planner: per-final-tile chunk/route stream construction
