@@ -24,7 +24,30 @@ ALL_KINDS = ("stream", "merge", "merge_genl", "merge_stock",
 TIME_BUDGET_S = 1500  # emit the JSON line even if the tail is cut
 
 
+def probe_devices(timeout_s: int = 180) -> bool:
+    """jax.devices() in a subprocess: the axon tunnel, when down,
+    hangs backend init forever (in-process and unkillable); probing
+    out-of-process lets the bench fail fast with an honest zero
+    instead of hanging the driver."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not probe_devices():
+        print("device backend unreachable (tunnel down?); emitting zero",
+              file=sys.stderr)
+        print(json.dumps({"metric": "spmv_gnnz_per_s", "value": 0.0,
+                          "unit": "Gnnz/s", "vs_baseline": 0.0}))
+        return
+
     from spmv_tpu.io.generate import power_law_csr
     from spmv_tpu.utils.roofline import speed_of_light
     from spmv_tpu.utils.timing import benchmark_spmv
