@@ -121,3 +121,24 @@ def test_plan_cache_reuse(matrices):
     y1 = np.asarray(spmv("merge", A, x))
     y2 = np.asarray(spmv("merge", A, x))
     np.testing.assert_array_equal(y1, y2)
+
+
+@pytest.mark.parametrize("kind", ["xla", "stream", "merge", "csr_vector"])
+def test_bfloat16_values(kind):
+    """bf16 A/x runs end-to-end on every kernel family; the Pallas
+    kinds accumulate in f32 so error stays at bf16 input-rounding
+    level (the TPU-native dtype; no reference analog)."""
+    import ml_dtypes
+
+    from spmv_tpu.formats import CSR
+    from spmv_tpu.io.generate import power_law_csr
+
+    A = power_law_csr(3000, 3000, 24000, seed=1)
+    Ab = CSR(A.n_rows, A.n_cols, A.Ap, A.Aj,
+             np.asarray(A.Ax).astype(ml_dtypes.bfloat16))
+    x = np.random.default_rng(0).standard_normal(3000)
+    yref = spmv_ref(A, x.astype(np.float32))
+    y = np.asarray(spmv(kind, Ab, x.astype(ml_dtypes.bfloat16)))
+    rel = np.abs(y.astype(np.float32) - yref).max() / max(
+        1.0, np.abs(yref).max())
+    assert rel < 0.08, rel
