@@ -366,9 +366,19 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
                           or ratio < shrink_hint[0]):
             shrink_hint[0] = float(ratio)
 
+    try:
+        from spmv_tpu import native
+        _nat = native if native.available() else None
+    except Exception:
+        _nat = None
+
     def _fits1(G, q1):
-        c = np.bincount(st_t * G + (dt % G), minlength=1)
-        return int(c.max()) <= cap(q1)
+        if _nat is not None:
+            mx = _nat.geom_key_max(st_t, dt, G, 1, G, True,
+                                   pad_tiles * G)
+        else:
+            mx = int(np.bincount(st_t * G + (dt % G), minlength=1).max())
+        return mx <= cap(q1)
 
     # ---- 2-pass ----
     small = pad_tiles <= 4096  # beyond ~60M nnz only 4-pass can spread
@@ -456,6 +466,8 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
     # spread the final-tile digits thin enough). q=8 at level 1 keeps
     # the first region small; q=16 at levels 2-3 doubles the quota
     # headroom against skewed digit counts. ----
+    max_final_live = int(np.bincount(dt, minlength=1).max()) if dt.size \
+        else 0
     for q1, q23 in ((8, 16), (16, 16), (8, 8)):
         r1 = -(-pad_tiles * q1 // LANES)
         r1 = -(-r1 // sbt) * sbt
@@ -476,7 +488,6 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
         # count is at least max_final_live / content3_tiles regardless
         # of the digit split. Skip quota combos that cannot fit (the
         # caller's kappa retry shrinks max_final_live).
-        max_final_live = int(np.bincount(dt, minlength=1).max())
         content3_tiles = max(spp3 * sbt * q23 // LANES, 1)
         est_l4 = max_final_live / content3_tiles
         if est_l4 > 0.8 * cap(q4):
@@ -493,36 +504,62 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
             tried_g1 += 1
             if tried_g1 > 2:
                 break
-            g1v = dt % G1
-            mid_id = g1v * r1 + ((st_t // sbt) * sbt * q1) // LANES
+            if _nat is not None:
+                mid_id = _nat.geom_mid1(dt, st_t, G1, r1, q1, sbt)
+            else:
+                mid_id = ((dt % G1) * r1
+                          + ((st_t // sbt) * sbt * q1) // LANES)
             for G2 in (8, 16, 24, 32, 48, 64):
-                g2v = (dt // G1) % G2
-                c2m = int(np.bincount(mid_id * G2 + g2v,
-                                      minlength=1).max())
+                if _nat is not None:
+                    c2m = _nat.geom_key_max(mid_id, dt, G2, G1, G2,
+                                            True, G1 * r1 * G2)
+                else:
+                    g2v = (dt // G1) % G2
+                    c2m = int(np.bincount(mid_id * G2 + g2v,
+                                          minlength=1).max())
                 if c2m > cap(q23):
                     _log(f"4-pass G1={G1} G2={G2}: level-2 max {c2m} "
                          f"> {cap(q23)}")
                     continue
-                step2 = mid_id // sbt
-                sub2 = ((g2v * G1 + step2 // spp2) * r2
-                        + ((step2 % spp2) * sbt * q23) // LANES)
+                if _nat is not None:
+                    sub2 = _nat.geom_sub_next(
+                        dt, mid_id, G1, G2, G1, spp2, r2, q23, sbt, "2")
+                else:
+                    g2v = (dt // G1) % G2
+                    step2 = mid_id // sbt
+                    sub2 = ((g2v * G1 + step2 // spp2) * r2
+                            + ((step2 % spp2) * sbt * q23) // LANES)
                 for G3 in (8, 16, 24, 32, 48, 64):
                     g4 = -(-F // (G1 * G2 * G3))
                     if not (1 <= g4 <= 64):
                         continue
-                    g3v = (dt // (G1 * G2)) % G3
-                    c3m = int(np.bincount(sub2 * G3 + g3v,
-                                          minlength=1).max())
+                    if _nat is not None:
+                        c3m = _nat.geom_key_max(
+                            sub2, dt, G3, G1 * G2, G3, True,
+                            G1 * G2 * r2 * G3)
+                    else:
+                        g3v = (dt // (G1 * G2)) % G3
+                        c3m = int(np.bincount(sub2 * G3 + g3v,
+                                              minlength=1).max())
                     if c3m > cap(q23):
                         _log(f"4-pass G=({G1},{G2},{G3}): level-3 max "
                              f"{c3m} > {cap(q23)}")
                         continue
-                    step3 = sub2 // sbt
-                    sub3 = ((g3v * (G1 * G2) + step3 // spp3) * r3
-                            + ((step3 % spp3) * sbt * q23) // LANES)
-                    k4 = dt // (G1 * G2 * G3)
-                    c4m = int(np.bincount(sub3 * g4 + k4,
-                                          minlength=1).max())
+                    if _nat is not None:
+                        sub3 = _nat.geom_sub_next(
+                            dt, sub2, G1 * G2, G3, G1 * G2, spp3, r3,
+                            q23, sbt, "3")
+                        c4m = _nat.geom_key_max(
+                            sub3, dt, g4, G1 * G2 * G3, g4, False,
+                            G1 * G2 * G3 * r3 * g4)
+                    else:
+                        g3v = (dt // (G1 * G2)) % G3
+                        step3 = sub2 // sbt
+                        sub3 = ((g3v * (G1 * G2) + step3 // spp3) * r3
+                                + ((step3 % spp3) * sbt * q23) // LANES)
+                        k4 = dt // (G1 * G2 * G3)
+                        c4m = int(np.bincount(sub3 * g4 + k4,
+                                              minlength=1).max())
                     if c4m > cap(q4):
                         _log(f"4-pass G=({G1},{G2},{G3},{g4}): level-4 "
                              f"max {c4m} > {cap(q4)}")

@@ -111,6 +111,16 @@ def _load():
         lib.spmv_plan_split.restype = ctypes.c_int
         lib.spmv_scatter_slots.argtypes = [I64, P64, I64, P64]
         lib.spmv_scatter_slots.restype = ctypes.c_int
+        I32 = ctypes.c_int32
+        lib.spmv_geom_mid1.argtypes = [I64, P32, P32, I32, I32, I32,
+                                       I32, P32]
+        lib.spmv_geom_mid1.restype = ctypes.c_int
+        lib.spmv_geom_sub_next.argtypes = [I64, P32, P32, I64, I32,
+                                           I64, I32, I32, I32, I32, P32]
+        lib.spmv_geom_sub_next.restype = ctypes.c_int
+        lib.spmv_geom_key_max.argtypes = [I64, P32, P32, I64, I64, I32,
+                                          I32, I64]
+        lib.spmv_geom_key_max.restype = I64
         P16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
         PI8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
         lib.spmv_plan_scan.argtypes = [
@@ -308,6 +318,45 @@ def plan_split(cur, grp, n_groups: int, sbt: int, Q: int,
         raise ValueError(_err(lib))
     return (src.reshape(n_tiles, 128, 128),
             starts.reshape(n_steps, sbt, n_groups), new_cur)
+
+
+def geom_mid1(dt, st, G1: int, r1: int, q1: int, sbt: int):
+    """mid = (dt%G1)*r1 + ((st//sbt)*sbt*q1)//128, into arena scratch."""
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("native library unavailable")
+    n = dt.shape[0]
+    mid = _scratch(("geom_mid",), n, np.int32)
+    lib.spmv_geom_mid1(n, dt, st, G1, r1, q1, sbt, mid)
+    return mid
+
+
+def geom_sub_next(dt, mid, divg: int, G: int, radix: int, spp: int,
+                  r: int, q: int, sbt: int, key: str):
+    """sub = ((dt//divg)%G * radix + (mid//sbt)//spp)*r
+    + (((mid//sbt)%spp)*sbt*q)//128, into arena scratch `key`."""
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("native library unavailable")
+    n = dt.shape[0]
+    sub = _scratch(("geom_sub", key), n, np.int32)
+    lib.spmv_geom_sub_next(n, dt, mid, divg, G, radix, spp, r, q, sbt,
+                           sub)
+    return sub
+
+
+def geom_key_max(base, dt, mul: int, divd: int, G: int, use_mod: bool,
+                 n_keys: int) -> int:
+    """max bincount of base*mul + ((dt//divd)%G if use_mod else
+    dt//divd)."""
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("native library unavailable")
+    mx = lib.spmv_geom_key_max(base.shape[0], base, dt, mul, divd, G,
+                               1 if use_mod else 0, n_keys)
+    if mx < 0:
+        raise ValueError(_err(lib))
+    return int(mx)
 
 
 def scatter_slots(fin, n_out: int):

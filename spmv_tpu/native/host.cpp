@@ -860,6 +860,65 @@ int spmv_plan_split(int64_t n_tiles, int32_t sbt, int32_t n_groups,
   return rc;
 }
 
+// ---------------------------------------------------------------------------
+// Shuffle-geometry feasibility counting (plan_shuffle_auto's hot
+// checks). Each quota level's exact per-window count is a bincount
+// max over a derived key; at 1e8+ live elements the NumPy temporaries
+// cost ~10x the arithmetic. Three primitives mirror the key chain:
+//   mid1:     mid = (dt%G1)*r1 + ((st/sbt)*sbt*q1)/128
+//   sub_next: gv = (dt/divg)%G;  step = mid/sbt;
+//             sub = (gv*radix + step/spp)*r + ((step%spp)*sbt*q)/128
+//   key_max:  max bucket count of base*mul + digit, where digit =
+//             (dt/divd)%G (use_mod) or dt/divd.
+// ---------------------------------------------------------------------------
+
+int spmv_geom_mid1(int64_t n, const int32_t* dt, const int32_t* st,
+                   int32_t G1, int32_t r1, int32_t q1, int32_t sbt,
+                   int32_t* mid_out) {
+  const int L = 128;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t m = (dt[i] % G1) * r1 + ((st[i] / sbt) * sbt * q1) / L;
+    mid_out[i] = m;
+  }
+  return 0;
+}
+
+int spmv_geom_sub_next(int64_t n, const int32_t* dt, const int32_t* mid,
+                       int64_t divg, int32_t G, int64_t radix,
+                       int32_t spp, int32_t r, int32_t q, int32_t sbt,
+                       int32_t* sub_out) {
+  const int L = 128;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t gv = ((int64_t)dt[i] / divg) % G;
+    int32_t step = mid[i] / sbt;
+    sub_out[i] = (int32_t)((gv * radix + step / spp) * r
+                           + ((int64_t)(step % spp) * sbt * q) / L);
+  }
+  return 0;
+}
+
+int64_t spmv_geom_key_max(int64_t n, const int32_t* base,
+                          const int32_t* dt, int64_t mul, int64_t divd,
+                          int32_t G, int32_t use_mod, int64_t n_keys) {
+  int32_t* cnt = (int32_t*)std::calloc((size_t)n_keys, sizeof(int32_t));
+  if (!cnt) { fail("geom_key_max: out of memory"); return -1; }
+  int64_t mx = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t d = (int64_t)dt[i] / divd;
+    if (use_mod) d %= G;
+    int64_t k = (int64_t)base[i] * mul + d;
+    if (k < 0 || k >= n_keys) {
+      std::free(cnt);
+      fail("geom_key_max: key out of range");
+      return -1;
+    }
+    int32_t c = ++cnt[k];
+    if (c > mx) mx = c;
+  }
+  std::free(cnt);
+  return mx;
+}
+
 // slot_of_dst assembly: out[fin[s]] = s for live fin entries within
 // range (the 1-2 GB fancy-index chain this replaces page-faults five
 // temporaries at 100M nnz).
