@@ -102,9 +102,11 @@ class DistributedSpMV:
         return self.plan.allgather_bytes_per_shard
 
     def shard_x(self, x) -> jax.Array:
-        x = jnp.asarray(x)
-        xp = jnp.zeros((self.x_pad,), x.dtype).at[: self.n_cols].set(x)
-        return jax.device_put(xp, NamedSharding(self.mesh, P(self.axis)))
+        from spmv_tpu.parallel.bootstrap import put_global
+
+        xp = np.zeros((self.x_pad,), np.asarray(x).dtype)
+        xp[: self.n_cols] = np.asarray(x)
+        return put_global(xp, NamedSharding(self.mesh, P(self.axis)))
 
     def matvec(self, x, semiring: Semiring = PLUS_TIMES,
                mode: str = "halo") -> jax.Array:
@@ -243,8 +245,10 @@ def distribute_csr(
     unpad_idx = (shard_of * R
                  + (np.arange(A.n_rows) - row_starts[shard_of]))
 
+    from spmv_tpu.parallel.bootstrap import put_global
+
     shd3 = NamedSharding(mesh, P(axis))
-    put = lambda a: jax.device_put(jnp.asarray(a), shd3)
+    put = lambda a: put_global(np.asarray(a), shd3)
     dev = {
         "send_idx": put(plan.send_idx),
         # recv_idx[s, t] = send_idx[t, s]: what owner t sends shard s

@@ -119,3 +119,33 @@ def test_overlap_structure_self_independent_of_exchange():
     s = str(jaxpr)
     assert "all_to_all" in s
     assert "all_gather" not in s
+
+
+def test_bootstrap_single_process():
+    """init_distributed is a no-op without a coordinator; make_mesh
+    builds an ICI-ordered mesh over the global device list; put_global
+    places replicated host data onto it (the multi-host path collapses
+    to device_put semantics at process_count=1)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spmv_tpu.parallel import init_distributed, make_mesh, put_global
+
+    assert init_distributed() == 1
+    assert init_distributed() == 1  # idempotent
+    mesh = make_mesh("shards")
+    assert mesh.shape["shards"] == len(jax.devices())
+    a = np.arange(mesh.shape["shards"] * 4, dtype=np.float32)
+    g = put_global(a, NamedSharding(mesh, P("shards")))
+    np.testing.assert_array_equal(np.asarray(g), a)
+    assert len(g.sharding.device_set) == len(jax.devices())
+
+
+def test_bootstrap_mesh_feeds_distribute():
+    from spmv_tpu.parallel import make_mesh
+
+    A = power_law_csr(400, 400, 4000, seed=8)
+    x = np.random.default_rng(2).standard_normal(400).astype(np.float32)
+    dist = distribute_csr(A, make_mesh("shards"))
+    y = np.asarray(dist.matvec(x))
+    np.testing.assert_allclose(y, spmv_ref(A, x, np.float64),
+                               rtol=2e-5, atol=1e-5)
