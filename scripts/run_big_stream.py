@@ -19,7 +19,12 @@ import numpy as np
 def main(nnz=100_000_000, n_rows=8 << 20):
     import jax.numpy as jnp
 
-    from spmv_tpu import spmv, spmv_ref
+    from spmv_tpu import config, spmv, spmv_ref
+
+    # plans this size take minutes to build; cache them on disk so
+    # repeat runs (and post-crash retries) skip straight to the kernel
+    config.set_plan_dir(os.environ.get("SPMV_TPU_PLAN_DIR",
+                                       "scratch/plans"))
     from spmv_tpu.io.generate import power_law_csr
     from spmv_tpu.utils.timing import benchmark_fn
 

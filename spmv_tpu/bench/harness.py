@@ -85,6 +85,10 @@ def main(argv=None):
                         "before benchmarking (the runtime analog of the "
                         "reference's per-arch policy tables); optional "
                         "path persists/loads the fitted table")
+    p.add_argument("--plan-dir", metavar="DIR", default=None,
+                   help="on-disk plan cache: build each matrix's "
+                        "stream plan once, reload on later runs "
+                        "(utils/plancache)")
     p.add_argument("--x", choices=["ones", "random"], default="random",
                    help="x vector (reference uses all-ones, main.cu:41; "
                         "random is value-sensitive and the default here)")
@@ -100,6 +104,11 @@ def main(argv=None):
     bad = [k for k in kinds if k not in list_kinds(include_aliases=True)]
     if bad:
         raise SystemExit(f"unknown kinds {bad}; valid: {list_kinds(include_aliases=True)}")
+
+    if args.plan_dir:
+        from spmv_tpu import config
+
+        config.set_plan_dir(args.plan_dir)
 
     A = load_matrix(args)
     chip, bw = chip_specs()

@@ -32,3 +32,24 @@ def use_interpret() -> bool:
     if env is not None:
         return env not in ("0", "false", "False")
     return jax.default_backend() not in ("tpu", "axon")
+
+
+_plan_dir_override: Optional[str] = None
+
+
+def set_plan_dir(path: Optional[str]) -> None:
+    """Directory for the on-disk plan cache (None disables)."""
+    global _plan_dir_override
+    _plan_dir_override = path
+
+
+def plan_dir() -> Optional[str]:
+    """On-disk plan cache directory, or None when disabled.
+
+    Set via set_plan_dir() or SPMV_TPU_PLAN_DIR. Plans are pure
+    functions of (matrix, policy); caching them turns the O(nnz) host
+    planning cost into a one-time build per matrix (utils/plancache).
+    """
+    if _plan_dir_override is not None:
+        return _plan_dir_override or None
+    return os.environ.get("SPMV_TPU_PLAN_DIR") or None

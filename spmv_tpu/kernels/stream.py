@@ -993,11 +993,21 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
         return jnp.full((A.n_rows,), ident, dtype=val_dtype)
 
     # plan structure is independent of the scan strategy: key on the
-    # structural fields only so roll/auto variants share one plan
+    # structural fields only so roll/auto variants share one plan.
+    # With a configured plan dir, misses fall through to the disk
+    # cache before paying the O(nnz) host planner.
+    def _build():
+        pdir = config.plan_dir()
+        if pdir:
+            from spmv_tpu.utils.plancache import stream_plan_cached
+
+            return stream_plan_cached(A, policy, pdir)
+        return build_stream_plan(A, policy)
+
     plan: StreamPlan = plan_cache(
         A, ("stream", policy.kappa, policy.hot_threshold,
             policy.gather_sbt),
-        lambda: build_stream_plan(A, policy))
+        _build)
     interp = config.use_interpret()
 
     # --- x table: padded x2d + hot-column broadcast pages ---
