@@ -48,9 +48,14 @@ def main():
                           "unit": "Gnnz/s", "vs_baseline": 0.0}))
         return
 
+    from spmv_tpu import config
     from spmv_tpu.io.generate import power_law_csr
     from spmv_tpu.utils.roofline import speed_of_light
     from spmv_tpu.utils.timing import benchmark_spmv
+
+    # stream plans for the bench matrix are pre-built into the disk
+    # cache (scripts/prebuild_plans.py); a cold cache just rebuilds
+    config.set_plan_dir("scratch/plans")
 
     n_rows = 1 << 20
     nnz = 3_300_000  # mean ~3.1/row, power-law row skew (the stream

@@ -75,6 +75,9 @@ class StreamPolicy:
     kappa: int = 14336       # live nnz per final tile (scan EN)
     hot_threshold: int = 2048  # column count to qualify for replication
     gather_sbt: int = 8      # gather tiles per grid step
+    scan_sbt: int = 8        # final tiles per outer scan grid step
+    # (per-outer-step fixed cost ~5-7 us amortizes over scan_sbt
+    # tiles; VMEM block sizes scale with it — autotune sweepable)
     # scan reduction strategy: "auto" takes the MXU prefix-difference
     # kernel when the ring has an inverse (plus_times/f32); "roll"
     # forces the log-step roll/segmented-scan kernel (the sequential/
@@ -520,9 +523,9 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
             first_touch[f] = 0
         seen.add(int(bins[f]))
 
-    # pad scan tiles to a multiple of SBT_SCAN: padded tiles carry junk
+    # pad scan tiles to a multiple of scan_sbt: padded tiles carry junk
     # cid (masked to identity) and write the junk bin (n_bins)
-    F_pad = -(-F // SBT_SCAN) * SBT_SCAN
+    F_pad = -(-F // policy.scan_sbt) * policy.scan_sbt
     pf = F_pad - F
 
     def padt(a, fill):
@@ -931,18 +934,18 @@ def _gather_pass(x2d, ax, q, xb, *, sr: Semiring, sbt, n_tiles, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sr", "F_pad", "n_bins", "interpret", "r1_fused", "strategy"))
+    "sr", "F_pad", "n_bins", "interpret", "r1_fused", "strategy",
+    "sbt"))
 def _scan_pass(prod_fin, cid, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
                rel2, r2s1, r2s2, r2s3,
                valid2, bins, first_touch, first_idx, cmask, climit,
                *, sr: Semiring, F_pad, n_bins, interpret, r1_fused,
-               strategy: str = "auto"):
-    """Scan over final tiles, SBT_SCAN per outer grid step (big block
+               strategy: str = "auto", sbt: int = SBT_SCAN):
+    """Scan over final tiles, `sbt` per outer grid step (big block
     fetches amortize DMA latency; one y-bin write per inner step). The
     output has a junk bin (index n_bins) receiving padded tiles."""
     identity = float(sr.identity_for(prod_fin.dtype))
     P = BIN_ROWS // LANES
-    sbt = SBT_SCAN
     T = F_pad // sbt
     diff = (strategy == "auto" and sr.name == "plus_times"
             and prod_fin.dtype == jnp.float32)
@@ -1006,7 +1009,7 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
 
     plan: StreamPlan = plan_cache(
         A, ("stream", policy.kappa, policy.hot_threshold,
-            policy.gather_sbt),
+            policy.gather_sbt, policy.scan_sbt),
         _build)
     interp = config.use_interpret()
 
@@ -1058,7 +1061,8 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
         plan.scan["bins"], plan.scan["first_touch"],
         plan.scan["first_idx"], plan.scan["cmask"], plan.scan["climit"],
         sr=semiring, F_pad=F_pad, n_bins=plan.n_bins, interpret=interp,
-        r1_fused=plan.scan["r1_fused"], strategy=policy.scan_strategy)
+        r1_fused=plan.scan["r1_fused"], strategy=policy.scan_strategy,
+        sbt=policy.scan_sbt)
 
     # drop the junk bin (padded scan tiles write bin n_bins)
     y3 = y2d[: plan.n_bins * (BIN_ROWS // LANES)].reshape(

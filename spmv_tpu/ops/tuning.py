@@ -80,6 +80,9 @@ def autotune_stream(A, x, kappas=(8192, 10240, 12288, 14336),
     from spmv_tpu.utils.timing import benchmark_fn
 
     results = []
+    # two-stage sweep: kappa first (plan geometry), then scan_sbt
+    # (outer-step batching) at the winning kappa — a full cross
+    # product would re-plan len(kappas)*len(sbts) times
     for kappa in kappas:
         pol = StreamPolicy(kappa=kappa)
         try:
@@ -91,14 +94,33 @@ def autotune_stream(A, x, kappas=(8192, 10240, 12288, 14336),
                 print(f"autotune kappa={kappa}: failed ({e})",
                       file=sys.stderr)
             continue
-        results.append({"kappa": kappa, "kernel_s": kern})
+        results.append({"kappa": kappa, "scan_sbt": pol.scan_sbt,
+                        "kernel_s": kern})
         if verbose:
             print(f"autotune kappa={kappa}: {kern*1e3:.4f} ms",
                   file=sys.stderr)
     if not results:
         raise RuntimeError("autotune: no candidate policy planned")
     best = min(results, key=lambda r: r["kernel_s"])
-    return {"kappa": best["kappa"]}, results
+    for scan_sbt in (16, 32):
+        pol = StreamPolicy(kappa=best["kappa"], scan_sbt=scan_sbt)
+        try:
+            total, kern = benchmark_fn(
+                lambda v, pol=pol: _stream_spmv(A, v, PLUS_TIMES, pol),
+                x, iters=iters)
+        except (PlanCapacityError, ValueError) as e:
+            if verbose:
+                print(f"autotune scan_sbt={scan_sbt}: failed ({e})",
+                      file=sys.stderr)
+            continue
+        results.append({"kappa": best["kappa"], "scan_sbt": scan_sbt,
+                        "kernel_s": kern})
+        if verbose:
+            print(f"autotune scan_sbt={scan_sbt}: {kern*1e3:.4f} ms",
+                  file=sys.stderr)
+    best = min(results, key=lambda r: r["kernel_s"])
+    return ({"kappa": best["kappa"], "scan_sbt": best["scan_sbt"]},
+            results)
 
 
 def save_table(fields: dict, path: str):
