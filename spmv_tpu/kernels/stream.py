@@ -68,6 +68,9 @@ from spmv_tpu.ops.routing import route_tiles
 from spmv_tpu.ops.semiring import Semiring, PLUS_TIMES
 
 BIN_ROWS = 8192  # y rows per output bin (one (64,128) block of y2d)
+SBT_SCAN_MAX = 32  # plan-time scan-tile padding granule: any scan_sbt
+# dividing this runs on the same plan (the knob re-batches the grid,
+# it does not reshape the plan)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,6 +86,13 @@ class StreamPolicy:
     # forces the log-step roll/segmented-scan kernel (the sequential/
     # tree in-register reduction analog, ref: cusp.cuh:82-136)
     scan_strategy: str = "auto"
+
+    def structural_fields(self) -> dict:
+        """Fields that shape the plan (= the plan-cache key).
+        scan_sbt / scan_strategy only re-batch the same plan at
+        dispatch time (tiles are padded to SBT_SCAN_MAX granules)."""
+        return {"kappa": self.kappa, "hot_threshold": self.hot_threshold,
+                "gather_sbt": self.gather_sbt}
 
 
 @dataclasses.dataclass
@@ -523,9 +533,11 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
             first_touch[f] = 0
         seen.add(int(bins[f]))
 
-    # pad scan tiles to a multiple of scan_sbt: padded tiles carry junk
-    # cid (masked to identity) and write the junk bin (n_bins)
-    F_pad = -(-F // policy.scan_sbt) * policy.scan_sbt
+    # pad scan tiles to a multiple of SBT_SCAN_MAX: padded tiles carry
+    # junk cid (masked to identity) and write the junk bin (n_bins).
+    # Padding to the max granule (not policy.scan_sbt) makes one plan
+    # serve every divisor scan_sbt — autotune sweeps without re-planning
+    F_pad = -(-F // SBT_SCAN_MAX) * SBT_SCAN_MAX
     pf = F_pad - F
 
     def padt(a, fill):
@@ -1007,9 +1019,11 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
             return stream_plan_cached(A, policy, pdir)
         return build_stream_plan(A, policy)
 
+    if SBT_SCAN_MAX % policy.scan_sbt != 0:
+        raise ValueError(
+            f"scan_sbt must divide {SBT_SCAN_MAX}; got {policy.scan_sbt}")
     plan: StreamPlan = plan_cache(
-        A, ("stream", policy.kappa, policy.hot_threshold,
-            policy.gather_sbt, policy.scan_sbt),
+        A, ("stream",) + tuple(sorted(policy.structural_fields().items())),
         _build)
     interp = config.use_interpret()
 

@@ -80,9 +80,9 @@ def autotune_stream(A, x, kappas=(8192, 10240, 12288, 14336),
     from spmv_tpu.utils.timing import benchmark_fn
 
     results = []
-    # two-stage sweep: kappa first (plan geometry), then scan_sbt
-    # (outer-step batching) at the winning kappa — a full cross
-    # product would re-plan len(kappas)*len(sbts) times
+    # two-stage sweep: kappa first (plan geometry, one plan build
+    # each), then scan_sbt (outer-step batching) at the winning kappa —
+    # the sbt stage reuses the winner's cached plan (structural keying)
     for kappa in kappas:
         pol = StreamPolicy(kappa=kappa)
         try:

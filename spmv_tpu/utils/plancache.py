@@ -29,7 +29,7 @@ import numpy as np
 
 from spmv_tpu.formats import CSR
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: scan tiles padded to SBT_SCAN_MAX granules
 
 
 def plan_key(A: CSR, policy) -> str:
@@ -38,7 +38,11 @@ def plan_key(A: CSR, policy) -> str:
     h.update(np.ascontiguousarray(np.asarray(A.Ap)).tobytes())
     h.update(np.ascontiguousarray(np.asarray(A.Aj)).tobytes())
     h.update(np.ascontiguousarray(np.asarray(A.Ax)).tobytes())
-    h.update(repr(sorted(vars(policy).items())).encode())
+    # only plan-shaping policy fields: dispatch-time knobs (scan_sbt,
+    # scan_strategy) reuse the same cached plan
+    fields = (policy.structural_fields()
+              if hasattr(policy, "structural_fields") else vars(policy))
+    h.update(repr(sorted(fields.items())).encode())
     return h.hexdigest()[:24]
 
 
@@ -155,7 +159,12 @@ def stream_plan_cached(A: CSR, policy, cache_dir: str):
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"stream-{plan_key(A, policy)}.npz")
     if os.path.exists(path):
-        return load_plan(path)
+        try:
+            return load_plan(path)
+        except ValueError as e:  # stale format version: rebuild in place
+            import sys
+
+            print(f"plan cache {path}: {e}; rebuilding", file=sys.stderr)
     plan = build_stream_plan(A, policy)
     save_plan(plan, path)
     return plan
