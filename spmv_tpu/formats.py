@@ -125,6 +125,19 @@ class CSR:
     def to_dense(self) -> np.ndarray:
         return self.to_coo().to_dense()
 
+    def transpose(self) -> "CSR":
+        """A^T as CSR (host-side stable counting sort over columns).
+
+        The reference has no transpose; it rounds out the container API
+        for column-access algorithms (PageRank on out-link graphs,
+        A^T A products) without a CSC twin type."""
+        coo = self.to_coo()
+        flipped = COO(self.n_cols, self.n_rows, coo.cols, coo.rows,
+                      coo.vals)
+        return coo_to_csr(flipped,
+                          offset_dtype=_asnumpy(self.Ap).dtype,
+                          index_dtype=_asnumpy(self.Aj).dtype)
+
     def astype(self, value_dtype=None, index_dtype=None, offset_dtype=None) -> "CSR":
         Ap = _asnumpy(self.Ap).astype(offset_dtype) if offset_dtype else self.Ap
         Aj = _asnumpy(self.Aj).astype(index_dtype) if index_dtype else self.Aj

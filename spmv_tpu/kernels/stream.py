@@ -1000,6 +1000,11 @@ def _scan_pass(prod_fin, cid, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
     )(bins, first_touch, first_idx, cmask, climit, *args)
 
 
+def plan_cache_key(policy: StreamPolicy) -> tuple:
+    """In-memory plan-cache key: structural policy fields only."""
+    return ("stream",) + tuple(sorted(policy.structural_fields().items()))
+
+
 def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
     x = jnp.asarray(x)
     val_dtype = resolve_val_dtype(A, x)
@@ -1022,9 +1027,7 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
     if SBT_SCAN_MAX % policy.scan_sbt != 0:
         raise ValueError(
             f"scan_sbt must divide {SBT_SCAN_MAX}; got {policy.scan_sbt}")
-    plan: StreamPlan = plan_cache(
-        A, ("stream",) + tuple(sorted(policy.structural_fields().items())),
-        _build)
+    plan: StreamPlan = plan_cache(A, plan_cache_key(policy), _build)
     interp = config.use_interpret()
 
     # --- x table: padded x2d + hot-column broadcast pages ---

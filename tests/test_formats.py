@@ -78,3 +78,21 @@ def test_dtype_genericity():
     assert np.asarray(csr.Ap).dtype == np.int64
     assert np.asarray(csr.Aj).dtype == np.int16
     assert np.asarray(csr.Ax).dtype == np.float64
+
+
+def test_transpose():
+    from spmv_tpu.io.generate import random_csr
+
+    A = random_csr(300, 180, 2500, seed=12)
+    At = A.transpose()
+    assert (At.n_rows, At.n_cols) == (A.n_cols, A.n_rows)
+    assert At.nnz == A.nnz
+    np.testing.assert_array_equal(At.to_dense(), A.to_dense().T)
+    # involution (dense equality; duplicate-free random_csr)
+    np.testing.assert_array_equal(A.transpose().transpose().to_dense(),
+                                  A.to_dense())
+    # dtypes survive
+    import numpy as _np
+    A64 = A.astype(index_dtype=_np.int32, offset_dtype=_np.int64)
+    At64 = A64.transpose()
+    assert At64.Ap.dtype == _np.int64 and At64.Aj.dtype == _np.int32
