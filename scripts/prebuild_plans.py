@@ -36,10 +36,12 @@ def prebuild(nnz: int, rows: int, seed: int, alpha: float = 1.5):
 
 
 def main(argv):
+    # Planning is pure host work; pin the in-process backend to CPU so
+    # a down TPU tunnel can't hang/fail the build (the axon runtime
+    # forces jax_platforms in-process, so env vars alone don't stick).
     import jax
 
-    if jax.default_backend() not in ("tpu", "axon"):
-        pass  # planning is host-side; any backend works
+    jax.config.update("jax_platforms", "cpu")
     os.makedirs("scratch/plans", exist_ok=True)
     # the driver bench matrix (bench.py)
     prebuild(3_300_000, 1 << 20, seed=42)
