@@ -66,7 +66,14 @@ def _stack_ell(plans, R):
 
 def _block_ell_plans(rows, cols, vals, R, W):
     """Per-shard ELL plans for a (rows, cols, vals) padded block whose
-    pad entries carry row id R (excluded)."""
+    pad entries carry row id R (excluded).
+
+    Only rows that actually have entries are packed: R is the max
+    rows/shard, and a block (the halo especially) often touches a
+    small subset — packing arange(R) would spend >=1 chunk per empty
+    row (53K wasted chunks/shard measured on an 8-shard power-law).
+    Missing rows come out of the segment reduce as the identity, which
+    is exactly what sr.reduce(y_self, y_halo) needs."""
     n = rows.shape[0]
     plans = []
     for s in range(n):
@@ -74,10 +81,41 @@ def _block_ell_plans(rows, cols, vals, R, W):
         coo = COO(R, int(cols.max() + 1) if cols.size else 1,
                   rows[s][m].astype(np.int64),
                   cols[s][m].astype(np.int64), vals[s][m])
+        nonempty = np.unique(coo.rows)
+        if nonempty.size == 0:
+            nonempty = np.zeros(1, np.int64)  # degenerate: one empty row
         plans.append(build_ell_plan(
-            coo_to_csr(coo, offset_dtype=np.int64),
-            np.arange(R, dtype=np.int64), W))
+            coo_to_csr(coo, offset_dtype=np.int64), nonempty, W))
     return _stack_ell(plans, R)
+
+
+def _block_width(rows, R) -> int:
+    """ELL lane width for a distributed block, chosen by exactly
+    minimizing the stacked tile count (= padded slots = HBM traffic).
+
+    A mean-based pick (select_width) misjudges power-law blocks: the
+    hub rows are insensitive to W (ceil(len/W)*W ~ len) while every
+    short row pays ceil(len/W)*W - len, so the slot-count argmin lands
+    near the TAIL's width, not the mean's. Tiles are what the stacked
+    shard_map kernel iterates and streams, so minimize max-over-shards
+    tiles; ties prefer wider W (fewer cross-lane segments per row)."""
+    candidates = (2, 4, 8, 16, 32, 64, 128)
+    slots_per_tile = SUBLANES * LANES
+    best_w, best_t = 2, None
+    for W in candidates:
+        worst = 1
+        for s in range(rows.shape[0]):
+            r = rows[s][rows[s] < R]
+            if r.size == 0:
+                continue
+            lens = np.bincount(r - r.min())
+            lens = lens[lens > 0]
+            chunks = int(((lens + W - 1) // W).sum())
+            worst = max(worst, (chunks * W + slots_per_tile - 1)
+                        // slots_per_tile)
+        if best_t is None or worst <= best_t:
+            best_w, best_t = W, worst
+    return best_w
 
 
 @dataclasses.dataclass
@@ -232,8 +270,8 @@ def distribute_csr(
     plan = build_halo_plan(A, n, balance=balance)
     R = plan.R
 
-    W_self = select_width(max(plan.N_self / max(R, 1), 1.0))
-    W_halo = select_width(max(plan.N_halo / max(R, 1), 1.0))
+    W_self = _block_width(plan.rows_self, R)
+    W_halo = _block_width(plan.rows_halo, R)
     blk_self = _block_ell_plans(plan.rows_self, plan.cols_self,
                                 plan.vals_self, R, W_self)
     blk_halo = _block_ell_plans(plan.rows_halo, plan.cols_halo,
