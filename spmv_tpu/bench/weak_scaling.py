@@ -95,9 +95,18 @@ def main(argv=None):
             base = r["time_s"]
         r["weak_scaling_efficiency"] = base / r["time_s"]
         results.append(r)
+        import jax
+
+        simulated = jax.default_backend() == "cpu"
+        # On the simulated mesh every "device" shares one host core, so
+        # the physical upper bound is eff = 1/n; report the
+        # serialization-adjusted number (eff*n) alongside — that is the
+        # figure comparable to a real pod's efficiency.
+        adj = (f"  (adj {min(r['weak_scaling_efficiency']*r['n_devices'], 9.99)*100:.0f}% "
+               f"of 1-core-serialized bound)" if simulated else "")
         print(f"n={r['n_devices']}: {r['time_s']*1e3:.3f} ms/iter  "
               f"{r['gnnz_per_s']:.2f} Gnnz/s  "
-              f"eff={r['weak_scaling_efficiency']*100:.0f}%  "
+              f"eff={r['weak_scaling_efficiency']*100:.0f}%{adj}  "
               f"comm {r['comm_bytes_per_shard']/1e6:.2f} MB vs "
               f"allgather {r['allgather_bytes_per_shard']/1e6:.2f} MB",
               file=sys.stderr)

@@ -159,10 +159,12 @@ class DistributedSpMV:
         d = self.dev
         return _dist_matvec(
             d["send_idx"], d["recv_idx"], d["self"], d["halo"],
-            self.unpad_idx, x,
+            d["idx_own"], d["own_start"], self.unpad_idx, x,
             mesh=self.mesh, axis=self.axis, R=self.plan.R,
             shapes=self._shapes, sr=semiring, mode=mode,
             interpret=config.use_interpret(),
+            export_meta=(tuple(int(r) for r in self.plan.export_rows),
+                         bool(self.plan.export_flag.any())),
         )
 
     @property
@@ -204,15 +206,20 @@ def _local_ell_matvec(aj, ax, valid, vrow, x, *, W, Tv, V, R,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "mesh", "axis", "R", "shapes", "sr", "mode", "interpret"))
-def _dist_matvec(send_idx, recv_idx, blk_self, blk_halo, unpad_idx, x,
-                 *, mesh, axis, R, shapes, sr, mode, interpret):
+    "mesh", "axis", "R", "shapes", "sr", "mode", "interpret",
+    "export_meta"))
+def _dist_matvec(send_idx, recv_idx, blk_self, blk_halo, idx_own,
+                 own_start, unpad_idx, x,
+                 *, mesh, axis, R, shapes, sr, mode, interpret,
+                 export_meta):
     Tvs, Vs, Ws, Tvh, Vh, Wh = shapes
     n = mesh.shape[axis]
     identity = float(sr.identity_for(np.dtype(x.dtype)))
+    # plan-time constants, identical on every shard (baked in)
+    export_rows, any_export = export_meta
 
     def local(send_idx_l, recv_idx_l, ajs, axs, vds, vrs,
-              ajh, axh, vdh, vrh, x_l):
+              ajh, axh, vdh, vrh, idx_own_l, own_start_l, x_l):
         xl = x_l
         if mode == "allgather":
             # v1 baseline: gather every column, then read the SAME
@@ -240,7 +247,28 @@ def _dist_matvec(send_idx, recv_idx, blk_self, blk_halo, unpad_idx, x,
             W=Wh, Tv=Tvh, V=Vh, R=R, sr=sr, identity=identity,
             interpret=interpret)
         y = sr.reduce(y_self, y_halo)
-        return y[None, :]
+        # owned output block: slot j = local row idx_own[j] (-1 -> id)
+        io = idx_own_l[0]
+        y_own = jnp.where(io >= 0, jnp.take(y, jnp.clip(io, 0, R - 1)),
+                          identity)
+        if any_export:
+            # rows split across shards: every shard whose entry range
+            # starts mid-row exports its partial for that first row;
+            # the row's owner reduces them in (the cross-chip carry
+            # fixup — SURVEY §7.6 boundary-partial combine). Tiny:
+            # one value per shard, one all_gather.
+            parts = jax.lax.all_gather(y[:1], axis, tiled=True)  # (n,)
+            for i in range(n):
+                gr = int(export_rows[i])
+                if gr < 0:
+                    continue
+                pos = gr - own_start_l[0, 0]
+                ok = (pos >= 0) & (pos < y_own.shape[0])
+                pc = jnp.clip(pos, 0, y_own.shape[0] - 1)
+                upd = sr.reduce(y_own[pc],
+                                jnp.where(ok, parts[i], identity))
+                y_own = y_own.at[pc].set(jnp.where(ok, upd, y_own[pc]))
+        return y_own[None, :]
 
     y_sharded = shard_map(
         local,
@@ -250,12 +278,14 @@ def _dist_matvec(send_idx, recv_idx, blk_self, blk_halo, unpad_idx, x,
                   P(axis, None, None, None), P(axis, None),
                   P(axis, None, None, None), P(axis, None, None, None),
                   P(axis, None, None, None), P(axis, None),
+                  P(axis, None), P(axis, None),
                   P(axis)),
         out_specs=P(axis, None),
         check_vma=False,  # pallas_call outputs carry no vma metadata
     )(send_idx, recv_idx, blk_self["aj"], blk_self["ax"],
       blk_self["valid"], blk_self["vrow"], blk_halo["aj"],
-      blk_halo["ax"], blk_halo["valid"], blk_halo["vrow"], x)
+      blk_halo["ax"], blk_halo["valid"], blk_halo["vrow"],
+      idx_own, own_start, x)
     y_flat = y_sharded.reshape(-1)
     return jnp.take(y_flat, unpad_idx)
 
@@ -264,7 +294,7 @@ def distribute_csr(
     A: CSR,
     mesh: Mesh,
     axis: str = "shards",
-    balance: str = "merge",
+    balance: str = "nnz",
 ) -> DistributedSpMV:
     n = mesh.shape[axis]
     plan = build_halo_plan(A, n, balance=balance)
@@ -277,10 +307,11 @@ def distribute_csr(
     blk_halo = _block_ell_plans(plan.rows_halo, plan.cols_halo,
                                 plan.vals_halo, R, W_halo)
 
-    row_starts = plan.row_starts
+    row_starts = plan.row_starts  # ownership starts
     shard_of = np.searchsorted(row_starts, np.arange(A.n_rows),
                                side="right") - 1
-    unpad_idx = (shard_of * R
+    shard_of = np.clip(shard_of, 0, n - 1)
+    unpad_idx = (shard_of * plan.R_out
                  + (np.arange(A.n_rows) - row_starts[shard_of]))
 
     from spmv_tpu.parallel.bootstrap import put_global
@@ -294,6 +325,8 @@ def distribute_csr(
         "recv_idx": put(plan.send_idx.transpose(1, 0, 2).copy()),
         "self": {k: put(blk_self[k]) for k in ("aj", "ax", "valid", "vrow")},
         "halo": {k: put(blk_halo[k]) for k in ("aj", "ax", "valid", "vrow")},
+        "idx_own": put(plan.idx_own),
+        "own_start": put(plan.row_starts[:n, None].astype(np.int32)),
         "W_self": W_self,
         "W_halo": W_halo,
     }

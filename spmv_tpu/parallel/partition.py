@@ -5,8 +5,11 @@ SURVEY §2 'Distributed communication backend: none'); this layer is
 the NEW capability the TPU build adds (SURVEY §7 step 6, BASELINE.json
 north-star):
 
-- a 1-D row partition balanced by rows+nnz (the merge-path diagonal
-  split applied at chip granularity),
+- a 1-D partition in EXACT nnz/n entry ranges that may split rows at
+  shard boundaries (the merge-path equal-work split applied at chip
+  granularity; row-aligned 'merge'/'rows' balances remain available),
+  with boundary-row partials combined by a one-value-per-shard
+  all_gather (the cross-chip carry fixup),
 - x ownership as contiguous column blocks (one per chip),
 - and a HALO PLAN: per (receiver, owner) pair, exactly which x entries
   must travel. Column indices are remapped at plan time into the
@@ -21,9 +24,11 @@ dependency on the exchange, so XLA's scheduler overlaps the
 `all_to_all` with it.
 
 SPMD uniformity: shard_map needs identical shapes per shard, so
-per-shard arrays are padded to the max across shards. The rows+nnz
-balanced split keeps the max close to the mean even on power-law
-matrices (unlike equal-row splits).
+per-shard arrays are padded to the max across shards. The exact-nnz
+split makes the max EQUAL the mean (±1 entry) even on power-law
+matrices — a hub row bigger than nnz/n, indivisible under any
+row-aligned split, is simply cut (measured: an 8-shard power-law with
+35% of nnz in one row goes from 2.8x max/mean imbalance to 1.0).
 """
 
 from __future__ import annotations
@@ -58,15 +63,31 @@ class HaloPlan:
     halo table is the received (n, M) block flattened, so a remote
     column needed from owner t at send-slot j lives at table position
     t*M + j (baked into Aj_halo at plan time).
+
+    Shards are ENTRY ranges [e0, e1), not row ranges (balance='nnz'
+    cuts mid-row): local row ids are relative to the first touched row
+    (ftr), a row is OWNED by the shard containing its first entry, and
+    a shard whose range starts mid-row exports its partial for that
+    first row (export_flag) — the owner reduces all exported partials
+    in (the merge-path carry fixup at chip granularity, SURVEY §7.6's
+    boundary-partial combine). Row-aligned balances ('merge'/'rows')
+    produce the same fields with no exports, so the runtime is one
+    uniform path.
     """
 
     n_shards: int
     B: int               # x block (columns per shard, padded)
     M: int               # max send-slot count per (owner, receiver)
-    R: int               # padded local rows
+    R: int               # padded local TOUCHED rows per shard
+    R_out: int           # padded OWNED rows per shard (output block)
     N_self: int          # padded self-nnz per shard
     N_halo: int          # padded halo-nnz per shard
-    row_starts: np.ndarray   # (n+1,)
+    row_starts: np.ndarray   # (n+1,) OWNERSHIP starts (global rows)
+    # owned-block gather: owned row j of shard s reads local y slot
+    # idx_own[s, j] (-1 -> no touched entries, output = identity)
+    idx_own: np.ndarray      # (n, R_out) int32
+    export_flag: np.ndarray  # (n,) bool: shard exports y_local[0]
+    export_rows: np.ndarray  # (n,) int64 global row exported (-1 none)
     # per-shard send plan: send_idx[t, s, :] = local x positions shard t
     # sends to shard s (pad 0)
     send_idx: np.ndarray     # (n, n, M) int32
@@ -153,26 +174,45 @@ def _row_starts(Ap, n_rows, nnz, n_shards, balance):
 
 
 def build_halo_plan(A: CSR, n_shards: int,
-                    balance: str = "merge") -> HaloPlan:
-    """Plan the halo-compacted distributed SpMV (see class docstring)."""
+                    balance: str = "nnz") -> HaloPlan:
+    """Plan the halo-compacted distributed SpMV (see class docstring).
+
+    balance='nnz' (default): EXACT nnz/n entry cuts, splitting rows at
+    shard boundaries — a power-law hub row no longer pins its whole
+    weight to one chip (the indivisible-row failure of any row-aligned
+    split). 'merge': rows+nnz-balanced row-aligned cuts. 'rows': equal
+    row counts.
+    """
     Ap = np.asarray(A.Ap, dtype=np.int64)
     Aj = np.asarray(A.Aj, dtype=np.int64)
     Ax = np.asarray(A.Ax)
     n = n_shards
     n_rows, nnz = A.n_rows, int(Ap[-1])
-    row_starts = _row_starts(Ap, n_rows, nnz, n, balance)
+    if balance == "nnz":
+        e_cuts = (np.arange(n + 1, dtype=np.int64) * nnz) // n
+    else:
+        rs = _row_starts(Ap, n_rows, nnz, n, balance)
+        e_cuts = Ap[rs]
     B = -(-max(A.n_cols, 1) // n)
+
+    # row containing each cut entry (last row whose start <= e), and
+    # ownership: row r belongs to the shard containing entry Ap[r]
+    ftr = np.maximum(np.searchsorted(Ap, e_cuts[:-1], side="right") - 1, 0)
+    own_starts = np.searchsorted(Ap[:n_rows], e_cuts[:-1], side="left")
+    own_starts = np.concatenate([own_starts, [n_rows]]).astype(np.int64)
+    own_starts = np.maximum.accumulate(own_starts)
+    export_flag = Ap[ftr] < e_cuts[:-1]
+    export_rows = np.where(export_flag, ftr, -1).astype(np.int64)
 
     per_shard = []
     M = 1
     for s in range(n):
-        r0, r1 = row_starts[s], row_starts[s + 1]
-        k0, k1 = Ap[r0], Ap[r1]
+        k0, k1 = e_cuts[s], e_cuts[s + 1]
         cols = Aj[k0:k1]
         vals = Ax[k0:k1]
-        rows = np.repeat(
-            np.arange(r1 - r0, dtype=np.int64),
-            (Ap[r0 + 1:r1 + 1] - Ap[r0:r1]))
+        # global row of each entry -> local (relative to ftr[s])
+        grow = np.searchsorted(Ap, np.arange(k0, k1), side="right") - 1
+        rows = grow - ftr[s]
         owner = cols // B
         self_m = owner == s
         # halo: unique remote columns, grouped by owner
@@ -189,9 +229,24 @@ def build_halo_plan(A: CSR, n_shards: int,
             M = max(M, c)
         per_shard.append(dict(
             rows=rows, cols=cols, vals=vals, self_m=self_m,
-            hcols=hcols, howner=howner, slot=slot, counts=counts))
+            hcols=hcols, howner=howner, slot=slot, counts=counts,
+            n_touched=int(rows[-1] + 1) if rows.size else 1))
 
-    R = int(max((row_starts[1:] - row_starts[:-1]).max(), 1))
+    R = int(max(max(p["n_touched"] for p in per_shard), 1))
+    owned = own_starts[1:] - own_starts[:-1]
+    R_out = int(max(owned.max(), 1))
+    # owned row j of shard s = global row own_starts[s] + j, living at
+    # local slot (global - ftr[s]) when touched, else identity (-1)
+    idx_own = np.full((n, R_out), -1, dtype=np.int64)
+    for s in range(n):
+        j = np.arange(owned[s], dtype=np.int64)
+        loc = own_starts[s] + j - ftr[s]
+        touched = (loc >= 0) & (loc < per_shard[s]["n_touched"])
+        # rows with no entries stay -1 only if truly untouched; a
+        # touched-but-empty row reads its (identity-filled) slot, which
+        # is absent from the segment reduce -> also identity, so any
+        # in-range loc is safe
+        idx_own[s, :owned[s]] = np.where(touched, loc, -1)
     N_self = max(int(max(p["self_m"].sum() for p in per_shard)), 1)
     N_halo = max(int(max((~p["self_m"]).sum() for p in per_shard)), 1)
     N_self = -(-N_self // 128) * 128
@@ -229,9 +284,12 @@ def build_halo_plan(A: CSR, n_shards: int,
             send_idx[t, s, :int(m.sum())] = p["hcols"][m] - t * B
 
     return HaloPlan(
-        n_shards=n, B=int(B), M=int(M), R=R,
+        n_shards=n, B=int(B), M=int(M), R=R, R_out=R_out,
         N_self=N_self, N_halo=N_halo,
-        row_starts=row_starts,
+        row_starts=own_starts,
+        idx_own=idx_own.astype(np.int32),
+        export_flag=export_flag,
+        export_rows=export_rows,
         send_idx=send_idx.astype(np.int32),
         rows_self=rows_self.astype(np.int32),
         cols_self=cols_self.astype(np.int32),

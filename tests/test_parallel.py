@@ -99,9 +99,12 @@ def test_overlap_structure_self_independent_of_exchange():
     # The compiled module must contain an all-to-all (halo exchange),
     # and the self-block matvec must not depend on it: check the jaxpr
     # has all_to_all (not all_gather) in halo mode.
+    # balance='merge' keeps cuts row-aligned -> no boundary exports,
+    # so the ONLY collective in halo mode must be the all_to_all
     A = banded_csr(512, bandwidth=1, seed=10)
     x = np.ones(512, np.float32)
-    dist = distribute_csr(A, _mesh(4))
+    dist = distribute_csr(A, _mesh(4), balance="merge")
+    assert not dist.plan.export_flag.any()
     import jax
 
     from spmv_tpu.parallel.dist_spmv import _dist_matvec
@@ -113,12 +116,44 @@ def test_overlap_structure_self_independent_of_exchange():
         lambda *a: _dist_matvec(
             *a, mesh=dist.mesh, axis=dist.axis, R=dist.plan.R,
             shapes=dist._shapes, sr=__import__("spmv_tpu").PLUS_TIMES,
-            mode="halo", interpret=_cfg.use_interpret()))(
+            mode="halo", interpret=_cfg.use_interpret(),
+            export_meta=(tuple(int(r) for r in dist.plan.export_rows),
+                         False)))(
         d["send_idx"], d["recv_idx"], d["self"], d["halo"],
-        dist.unpad_idx, dist.shard_x(x))
+        d["idx_own"], d["own_start"], dist.unpad_idx, dist.shard_x(x))
     s = str(jaxpr)
     assert "all_to_all" in s
     assert "all_gather" not in s
+
+
+def test_nnz_split_hub_row():
+    """balance='nnz' splits an indivisible hub row across shards and
+    the boundary-partial combine reassembles it exactly (the carry
+    fixup at chip granularity). A row-aligned split would pin 60% of
+    the nnz to one shard; here per-shard padded nnz is ~equal."""
+    rng = np.random.default_rng(3)
+    n = 1024
+    rows = np.concatenate([np.full(6000, 37), rng.integers(0, n, 4000)])
+    cols = rng.integers(0, n, rows.size)
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    from spmv_tpu.formats import COO, coo_to_csr
+
+    A = coo_to_csr(COO(n, n, rows, cols, vals))
+    x = rng.standard_normal(n).astype(np.float32)
+    dist = distribute_csr(A, _mesh(8), balance="nnz")
+    assert dist.plan.export_flag.sum() >= 4  # hub row really split
+    # padded per-shard nnz within 128 (one pad granule) of nnz/8
+    assert dist.plan.N_self + dist.plan.N_halo <= A.nnz // 8 + 2 * 128
+    y = np.asarray(dist.matvec(x))
+    np.testing.assert_allclose(y, spmv_ref(A, x, np.float64),
+                               rtol=2e-5, atol=1e-5)
+    # semiring path through the split: min-plus
+    from spmv_tpu import MIN_PLUS
+    from spmv_tpu.ops.reference import spmv_ref_semiring
+
+    ym = np.asarray(dist.matvec(x, semiring=MIN_PLUS))
+    np.testing.assert_allclose(
+        ym, spmv_ref_semiring(A, x, MIN_PLUS), rtol=2e-5, atol=1e-5)
 
 
 def test_bootstrap_single_process():
