@@ -22,7 +22,11 @@ runs on device through the existing streaming machinery.
 
   so the full stream pipeline (plan-routed gather + shuffle + MXU
   scan), its semiring generality (combine(a_ik, b_kj) / reduce), and
-  its fallbacks apply verbatim — no new kernels.
+  its fallbacks apply verbatim — no new kernels. method='auto' runs
+  the XLA numeric unless a stream plan for the virtual CSR already
+  exists (one-shot products never amortize the O(nnz) plan build;
+  pattern-fixed iteration — APSP relaxations — opts in once via
+  method='stream' and rides the cached plan thereafter).
 
 C keeps structural zeros (entries whose values reduce to the semiring
 identity), matching scipy.sparse semantics.
@@ -149,15 +153,31 @@ def spgemm(A: CSR, B: CSR, semiring: Semiring = PLUS_TIMES,
     elif method == "stream":
         cvals = _numeric_stream(V, Bx, semiring)
     else:
-        try:
-            cvals = _numeric_stream(V, Bx, semiring)
-        except PlanCapacityError:
+        # 'auto': the stream pipeline amortizes its O(nnz) plan build
+        # only when the numeric phase re-runs over a fixed pattern
+        # (semiring iteration: APSP relaxations, value refreshes).
+        # A one-shot product is XLA-numeric; opting into
+        # method='stream' once makes every later auto call on the same
+        # (A, B) ride the already-built plan.
+        if _stream_planned(V):
+            try:
+                cvals = _numeric_stream(V, Bx, semiring)
+            except PlanCapacityError:
+                cvals = _numeric_xla(V, Bx, semiring)
+        else:
             cvals = _numeric_xla(V, Bx, semiring)
 
     idx_dtype = (np.int32 if B.n_cols <= np.iinfo(np.int32).max
                  else np.int64)
     return CSR(A.n_rows, B.n_cols, sym["Cp"],
                sym["Cj"].astype(idx_dtype), cvals)
+
+
+def _stream_planned(V: CSR) -> bool:
+    from spmv_tpu.kernels.stream import plan_cache_key, DEFAULT_POLICY
+    from spmv_tpu.ops.registry import plan_cached
+
+    return plan_cached(V, plan_cache_key(DEFAULT_POLICY))
 
 
 def _numeric_stream(V: CSR, Bx, semiring: Semiring):

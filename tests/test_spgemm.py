@@ -102,3 +102,23 @@ def test_spgemm_plan_cached_and_value_correct_for_distinct_B():
     _check_plus_times(A, B1)
     _check_plus_times(A, B2)  # distinct plan per B identity
     _check_plus_times(A, B1)  # cached plan still valid
+
+
+def test_auto_uses_xla_until_stream_planned():
+    """'auto' must not pay the O(nnz) stream plan build for a one-shot
+    product; after an explicit method='stream' call, the same (A, B)
+    pair rides the cached plan on later auto calls."""
+    from spmv_tpu.kernels.spgemm import _plan, _stream_planned, spgemm
+    from spmv_tpu.io.generate import random_csr
+
+    A = random_csr(300, 200, 2000, seed=5)
+    B = random_csr(200, 250, 2000, seed=6)
+    C1 = spgemm(A, B, method="auto")
+    assert not _stream_planned(_plan(A, B)["V"])
+    C2 = spgemm(A, B, method="stream")
+    assert _stream_planned(_plan(A, B)["V"])
+    C3 = spgemm(A, B, method="auto")  # now rides the stream plan
+    np.testing.assert_allclose(np.asarray(C1.Ax), np.asarray(C2.Ax),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(C1.Ax), np.asarray(C3.Ax),
+                               rtol=2e-4, atol=1e-4)
