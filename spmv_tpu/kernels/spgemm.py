@@ -53,6 +53,19 @@ def _spgemm_symbolic(A: CSR, B: CSR):
     Bj = np.asarray(B.Aj, dtype=np.int64)
     nnzA = int(Ap[-1])
 
+    # Native Gustavson SPA walk (host.cpp spmv_spgemm_symbolic) when
+    # available; the NumPy lexsort below has identical semantics.
+    try:
+        from spmv_tpu import native
+
+        if native.available():
+            Cp, Cj, v_ap, srcA, srcB, total = native.spgemm_symbolic(
+                A.n_rows, B.n_cols, Ap, Aj, Bp, Bj)
+            return {"Cp": Cp, "Cj": Cj.astype(np.int64), "v_ap": v_ap,
+                    "srcB": srcB, "srcA": srcA, "n_triples": total}
+    except NotImplementedError:
+        pass
+
     iA = np.repeat(np.arange(A.n_rows, dtype=np.int64), Ap[1:] - Ap[:-1])
     lensB = Bp[Aj + 1] - Bp[Aj]  # per A-nnz: how many B entries expand
     total = int(lensB.sum())

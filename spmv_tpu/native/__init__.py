@@ -129,6 +129,13 @@ def _load():
             ctypes.POINTER(ctypes.c_int32)]
         lib.spmv_plan_scan.restype = ctypes.c_int
         lib.spmv_route_tiles.restype = ctypes.c_int
+        PPI32 = ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))
+        PPI64 = ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))
+        PI64 = ctypes.POINTER(ctypes.c_int64)
+        lib.spmv_spgemm_symbolic.argtypes = [
+            I64, I64, P64, P64, P64, P64, P64,
+            PPI32, PI64, PPI64, PPI64, PPI64, PI64]
+        lib.spmv_spgemm_symbolic.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -404,3 +411,44 @@ def plan_scan(k_starts, bins, slot_of_dst, row_ids, bin_rows: int):
         raise ValueError(_err(lib))
     return (cid, rel2, src1c, src1p, src2, valid2, first_idx, cmask,
             climit, bool(fuse.value))
+
+
+def spgemm_symbolic(n_rows: int, n_cols_b: int, Ap, Aj, Bp, Bj):
+    """Native Gustavson symbolic phase (see kernels/spgemm.py).
+
+    Returns (Cp int64, Cj int32, v_ap int64, srcA int64, srcB int64,
+    total). Raises NotImplementedError when the native lib is absent.
+    """
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("native library unavailable")
+    Ap = np.ascontiguousarray(Ap, np.int64)
+    Aj = np.ascontiguousarray(Aj, np.int64)
+    Bp = np.ascontiguousarray(Bp, np.int64)
+    Bj = np.ascontiguousarray(Bj, np.int64)
+    Cp = np.zeros(n_rows + 1, np.int64)
+    Cj_p = ctypes.POINTER(ctypes.c_int32)()
+    vap_p = ctypes.POINTER(ctypes.c_int64)()
+    sA_p = ctypes.POINTER(ctypes.c_int64)()
+    sB_p = ctypes.POINTER(ctypes.c_int64)()
+    nnzC = ctypes.c_int64(0)
+    total = ctypes.c_int64(0)
+    rc = lib.spmv_spgemm_symbolic(
+        n_rows, n_cols_b, Ap, Aj, Bp, Bj, Cp,
+        ctypes.byref(Cj_p), ctypes.byref(nnzC), ctypes.byref(vap_p),
+        ctypes.byref(sA_p), ctypes.byref(sB_p), ctypes.byref(total))
+    if rc != 0:
+        raise ValueError(_err(lib))
+    try:
+        nc, t = int(nnzC.value), int(total.value)
+        Cj = (np.ctypeslib.as_array(Cj_p, shape=(nc,)).copy()
+              if nc else np.empty(0, np.int32))
+        v_ap = np.ctypeslib.as_array(vap_p, shape=(nc + 1,)).copy()
+        srcA = (np.ctypeslib.as_array(sA_p, shape=(t,)).copy()
+                if t else np.empty(0, np.int64))
+        srcB = (np.ctypeslib.as_array(sB_p, shape=(t,)).copy()
+                if t else np.empty(0, np.int64))
+    finally:
+        for p in (Cj_p, vap_p, sA_p, sB_p):
+            lib.spmv_free(p)
+    return Cp, Cj, v_ap, srcA, srcB, t
