@@ -281,3 +281,53 @@ class TestPlanScan:
             else:
                 np.testing.assert_array_equal(
                     np.asarray(a), np.asarray(b), err_msg=name)
+
+
+class TestSpgemmSymbolic:
+    def test_matches_numpy_symbolic(self):
+        import os
+
+        import spmv_tpu.native as n
+        from spmv_tpu.io.generate import power_law_csr, random_csr
+        from spmv_tpu.kernels.spgemm import _spgemm_symbolic
+
+        if not n.available():
+            pytest.skip("native unavailable")
+        A = power_law_csr(2000, 1500, 20000, alpha=1.5, seed=1)
+        B = random_csr(1500, 1800, 15000, seed=2)
+        sym = _spgemm_symbolic(A, B)
+        os.environ["SPMV_TPU_NO_NATIVE"] = "1"
+        try:
+            saved = n._lib, n._tried
+            n._lib, n._tried = None, True
+            ref = _spgemm_symbolic(A, B)
+            n._lib, n._tried = saved
+        finally:
+            del os.environ["SPMV_TPU_NO_NATIVE"]
+        for k in ("Cp", "Cj", "v_ap"):
+            np.testing.assert_array_equal(sym[k], ref[k])
+        assert sym["n_triples"] == ref["n_triples"]
+        # triple lists may be permuted WITHIN a group (the numeric
+        # reduce is order-free); compare group-canonicalized
+        g = np.repeat(np.arange(sym["Cj"].shape[0]),
+                      np.diff(sym["v_ap"]))
+        for key in ("srcA", "srcB"):
+            o1 = np.lexsort((sym[key], g))
+            o2 = np.lexsort((ref[key], g))
+            np.testing.assert_array_equal(sym[key][o1], ref[key][o2])
+
+    def test_empty_product(self):
+        import spmv_tpu.native as n
+        from spmv_tpu.io.generate import random_csr
+        from spmv_tpu.kernels.spgemm import spgemm
+
+        if not n.available():
+            pytest.skip("native unavailable")
+        # B's rows touched by A's columns are all empty
+        A = random_csr(50, 40, 100, seed=3)
+        from spmv_tpu.formats import CSR
+
+        B = CSR(40, 60, np.zeros(41, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.float32))
+        C = spgemm(A, B)
+        assert C.nnz == 0 and C.shape == (50, 60)
