@@ -54,17 +54,25 @@ def _spgemm_symbolic(A: CSR, B: CSR):
     nnzA = int(Ap[-1])
 
     # Native Gustavson SPA walk (host.cpp spmv_spgemm_symbolic) when
-    # available; the NumPy lexsort below has identical semantics.
-    try:
-        from spmv_tpu import native
+    # available; the NumPy lexsort below has identical semantics. The
+    # SPA is O(B.n_cols) memory/time, so skip it for ultra-wide sparse
+    # B (the lexsort scales with triples, not columns), and fall back
+    # on ANY native failure (alloc, >int32 columns) — every native
+    # entry point keeps a pure-NumPy fallback.
+    native_ok = (B.n_cols <= np.iinfo(np.int32).max
+                 and B.n_cols <= 64 * max(int(Bp[-1]) + A.n_rows, 1))
+    if native_ok:
+        try:
+            from spmv_tpu import native
 
-        if native.available():
-            Cp, Cj, v_ap, srcA, srcB, total = native.spgemm_symbolic(
-                A.n_rows, B.n_cols, Ap, Aj, Bp, Bj)
-            return {"Cp": Cp, "Cj": Cj.astype(np.int64), "v_ap": v_ap,
-                    "srcB": srcB, "srcA": srcA, "n_triples": total}
-    except NotImplementedError:
-        pass
+            if native.available():
+                Cp, Cj, v_ap, srcA, srcB, total = native.spgemm_symbolic(
+                    A.n_rows, B.n_cols, Ap, Aj, Bp, Bj)
+                return {"Cp": Cp, "Cj": Cj.astype(np.int64),
+                        "v_ap": v_ap, "srcB": srcB, "srcA": srcA,
+                        "n_triples": total}
+        except (NotImplementedError, ValueError):
+            pass
 
     iA = np.repeat(np.arange(A.n_rows, dtype=np.int64), Ap[1:] - Ap[:-1])
     lensB = Bp[Aj + 1] - Bp[Aj]  # per A-nnz: how many B entries expand
@@ -187,10 +195,24 @@ def spgemm(A: CSR, B: CSR, semiring: Semiring = PLUS_TIMES,
 
 
 def _stream_planned(V: CSR) -> bool:
+    """True when a stream plan for the virtual CSR is already at hand:
+    in the in-memory cache, or saved in the on-disk plan dir (so an
+    APSP loop restarted in a new process still rides its plan)."""
+    import os
+
+    from spmv_tpu import config
     from spmv_tpu.kernels.stream import plan_cache_key, DEFAULT_POLICY
     from spmv_tpu.ops.registry import plan_cached
 
-    return plan_cached(V, plan_cache_key(DEFAULT_POLICY))
+    if plan_cached(V, plan_cache_key(DEFAULT_POLICY)):
+        return True
+    d = config.plan_dir()
+    if d:
+        from spmv_tpu.utils.plancache import plan_key
+
+        return os.path.exists(
+            os.path.join(d, f"stream-{plan_key(V, DEFAULT_POLICY)}.npz"))
+    return False
 
 
 def _numeric_stream(V: CSR, Bx, semiring: Semiring):

@@ -22,6 +22,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <new>
 #include <vector>
 
 extern "C" {
@@ -1140,27 +1141,34 @@ int spmv_spgemm_symbolic(
   }
   for (int64_t j = 0; j < n_cols_b; ++j) stamp[j] = -1;
 
-  // pass 1: C pattern + group sizes
+  // pass 1: C pattern + group sizes (vector growth can throw
+  // bad_alloc; convert to the error-return used everywhere else
+  // rather than unwinding through the C ABI)
   std::vector<int32_t> Cj;
   std::vector<int64_t> gsz;
   std::vector<int32_t> distinct;
   int64_t total = 0;
   Cp[0] = 0;
-  for (int64_t i = 0; i < n_rows; ++i) {
-    distinct.clear();
-    for (int64_t e = Ap[i]; e < Ap[i + 1]; ++e) {
-      int64_t k = Aj[e];
-      for (int64_t p = Bp[k]; p < Bp[k + 1]; ++p) {
-        int64_t j = Bj[p];
-        if (stamp[j] != i) { stamp[j] = i; cnt[j] = 0;
-                             distinct.push_back((int32_t)j); }
-        ++cnt[j];
-        ++total;
+  try {
+    for (int64_t i = 0; i < n_rows; ++i) {
+      distinct.clear();
+      for (int64_t e = Ap[i]; e < Ap[i + 1]; ++e) {
+        int64_t k = Aj[e];
+        for (int64_t p = Bp[k]; p < Bp[k + 1]; ++p) {
+          int64_t j = Bj[p];
+          if (stamp[j] != i) { stamp[j] = i; cnt[j] = 0;
+                               distinct.push_back((int32_t)j); }
+          ++cnt[j];
+          ++total;
+        }
       }
+      std::sort(distinct.begin(), distinct.end());
+      for (int32_t j : distinct) { Cj.push_back(j); gsz.push_back(cnt[j]); }
+      Cp[i + 1] = (int64_t)Cj.size();
     }
-    std::sort(distinct.begin(), distinct.end());
-    for (int32_t j : distinct) { Cj.push_back(j); gsz.push_back(cnt[j]); }
-    Cp[i + 1] = (int64_t)Cj.size();
+  } catch (const std::bad_alloc&) {
+    std::free(stamp); std::free(cnt); std::free(gid);
+    return fail("spgemm_symbolic: out of memory (pattern)");
   }
   int64_t nnzC = (int64_t)Cj.size();
 

@@ -35,7 +35,7 @@ from jax import shard_map
 
 from spmv_tpu import config
 from spmv_tpu.formats import CSR, COO, coo_to_csr
-from spmv_tpu.kernels.ell import build_ell_plan, select_width, SUBLANES
+from spmv_tpu.kernels.ell import build_ell_plan, SUBLANES
 from spmv_tpu.kernels.pallas_utils import LANES
 from spmv_tpu.ops.semiring import (
     Semiring,
@@ -128,7 +128,7 @@ class DistributedSpMV:
     n_rows: int
     n_cols: int
     dev: dict            # sharded device arrays
-    unpad_idx: jax.Array  # (n_rows,) into flattened (n*R,) local y
+    unpad_idx: jax.Array  # (n_rows,) into flattened (n*R_out,) owned y
     x_pad: int           # n_shards * B
 
     @property

@@ -210,9 +210,15 @@ def build_halo_plan(A: CSR, n_shards: int,
         k0, k1 = e_cuts[s], e_cuts[s + 1]
         cols = Aj[k0:k1]
         vals = Ax[k0:k1]
-        # global row of each entry -> local (relative to ftr[s])
-        grow = np.searchsorted(Ap, np.arange(k0, k1), side="right") - 1
-        rows = grow - ftr[s]
+        # global row of each entry -> local (relative to ftr[s]):
+        # one linear repeat over the shard's clipped row lengths
+        # (not a per-entry binary search — O(nnz log n) and a
+        # size-nnz temp at 234M-nnz scale)
+        ltr = np.searchsorted(Ap, max(k1, k0 + 1) - 1, side="right") - 1
+        lens = (np.minimum(Ap[ftr[s] + 1:ltr + 2], k1)
+                - np.maximum(Ap[ftr[s]:ltr + 1], k0))
+        rows = np.repeat(np.arange(ltr + 1 - ftr[s], dtype=np.int64),
+                         np.maximum(lens, 0))
         owner = cols // B
         self_m = owner == s
         # halo: unique remote columns, grouped by owner
