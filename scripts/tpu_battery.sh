@@ -42,6 +42,10 @@ if [ "${1:-}" != "quick" ]; then
   log "7: 234M-nnz stream reach (com-Orkut scale, plan pre-built)"
   timeout 5400 python -u scripts/run_big_stream.py 234000000 8388608 \
     2>&1 | tee scratch/tpu_logs/big234m-$TS.log | tail -8
+
+  log "8: ops layer bench (spgemm numeric / sptrsv / ilu0 / cg)"
+  timeout 1800 python -u scripts/bench_ops.py quick \
+    2>&1 | tee scratch/tpu_logs/ops-$TS.log | tail -8
 fi
 
 log "battery done"
