@@ -43,6 +43,7 @@ from spmv_tpu.kernels.spmm import spmm
 from spmv_tpu.kernels.spgemm import spgemm
 from spmv_tpu.kernels.trisolve import sptrsv, ilu0, ilu0_apply
 from spmv_tpu.solvers import cg, bicgstab
+from spmv_tpu.ops.autodiff import SparseOperator, spmv_values
 from spmv_tpu.io.matrix_market import read_matrix_market, write_matrix_market
 
 __version__ = "0.1.0"
@@ -69,6 +70,8 @@ __all__ = [
     "ilu0_apply",
     "cg",
     "bicgstab",
+    "SparseOperator",
+    "spmv_values",
     "spmv_ref",
     "spmv_ref_semiring",
     "read_matrix_market",
