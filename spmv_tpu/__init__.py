@@ -42,7 +42,7 @@ from spmv_tpu import kernels as _kernels  # noqa: F401
 from spmv_tpu.kernels.spmm import spmm
 from spmv_tpu.kernels.spgemm import spgemm
 from spmv_tpu.kernels.trisolve import sptrsv, ilu0, ilu0_apply
-from spmv_tpu.solvers import cg, bicgstab
+from spmv_tpu.solvers import cg, bicgstab, gmres
 from spmv_tpu.ops.autodiff import SparseOperator, spmv_values
 from spmv_tpu.io.matrix_market import read_matrix_market, write_matrix_market
 
@@ -70,6 +70,7 @@ __all__ = [
     "ilu0_apply",
     "cg",
     "bicgstab",
+    "gmres",
     "SparseOperator",
     "spmv_values",
     "spmv_ref",

@@ -163,3 +163,81 @@ def bicgstab(A: CSR, b, *, x0=None, rtol: float = 1e-6, atol: float = 0.0,
     resnorm = jnp.linalg.norm(r)
     return x, {"iters": int(k), "resnorm": float(resnorm),
                "converged": bool(resnorm <= target)}
+
+
+def gmres(A: CSR, b, *, x0=None, rtol: float = 1e-6, atol: float = 0.0,
+          restart: int = 32, maxiter: Optional[int] = None, M=None,
+          kind: str = "xla"):
+    """Restarted GMRES(m) for general square A. Returns (x, info).
+
+    Left-preconditioned: the stopping test is on the preconditioned
+    residual ||M^-1 (b - Ax)|| <= max(rtol*||M^-1 b||, atol), matching
+    scipy.sparse.linalg.gmres's legacy behavior. Each restart cycle is
+    one jitted Arnoldi sweep of `restart` steps (modified Gram-Schmidt
+    under `lax.fori_loop`, so the Krylov basis stays device-resident)
+    followed by an (m+1)x(m) least-squares solve — tiny, XLA handles
+    it on-chip. `maxiter` bounds total inner iterations.
+
+    TPU notes: the basis V is (m+1, n) in HBM; one matvec per inner
+    step, one extra matvec per cycle for the true-residual restart.
+    No host sync inside the `lax.while_loop` over cycles.
+    """
+    if A.n_rows != A.n_cols:
+        raise ValueError("gmres requires a square matrix")
+    b = jnp.asarray(b)
+    if b.shape != (A.n_rows,):
+        raise ValueError(f"b has shape {b.shape}, expected ({A.n_rows},)")
+    mv = _matvec(A, kind)
+    psolve = _preconditioner(A, M)
+    n = A.n_rows
+    m = max(1, min(restart, n))
+    if maxiter is None:
+        maxiter = min(10 * n, 10_000)
+    max_cycles = -(-maxiter // m)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+
+    pb = psolve(b)
+    target = jnp.maximum(rtol * jnp.linalg.norm(pb), atol)
+
+    def cycle(x):
+        r = psolve(b - mv(x))
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dtype=b.dtype)
+        V = V.at[0].set(r / jnp.where(beta > 0, beta, 1.0))
+        H = jnp.zeros((m + 1, m), dtype=b.dtype)
+
+        def arnoldi(j, carry):
+            V, H = carry
+            w = psolve(mv(V[j]))
+
+            def mgs(i, wh):
+                w, H = wh
+                hij = jnp.vdot(V[i], w)
+                w = w - hij * V[i]
+                return (w, H.at[i, j].set(hij))
+
+            w, H = jax.lax.fori_loop(0, j + 1, mgs, (w, H))
+            hnext = jnp.linalg.norm(w)
+            H = H.at[j + 1, j].set(hnext)
+            V = V.at[j + 1].set(w / jnp.where(hnext > 0, hnext, 1.0))
+            return (V, H)
+
+        V, H = jax.lax.fori_loop(0, m, arnoldi, (V, H))
+        e1 = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
+        y = jnp.linalg.lstsq(H, e1)[0]
+        return x + V[:m].T @ y
+
+    def cond(state):
+        x, resnorm, k = state
+        return (resnorm > target) & (k < max_cycles)
+
+    def body(state):
+        x, _, k = state
+        x = cycle(x)
+        resnorm = jnp.linalg.norm(psolve(b - mv(x)))
+        return (x, resnorm, k + 1)
+
+    r0 = jnp.linalg.norm(psolve(b - mv(x)))
+    x, resnorm, k = jax.lax.while_loop(cond, body, (x, r0, 0))
+    return x, {"iters": int(k) * m, "resnorm": float(resnorm),
+               "converged": bool(resnorm <= target)}

@@ -124,3 +124,52 @@ def test_cg_with_x0_and_atol():
     # warm start at the solution: zero iterations needed
     x2, info = cg(A, b, x0=np.asarray(x1), rtol=1e-6)
     assert info["iters"] == 0
+
+
+def test_gmres_nonsymmetric_matches_direct():
+    from spmv_tpu.solvers import gmres
+
+    A = _nonsym(160)
+    rng = np.random.default_rng(0)
+    xstar = rng.standard_normal(160).astype(np.float32)
+    b = (A.to_dense() @ xstar).astype(np.float32)
+    x, info = gmres(A, b, rtol=1e-5, restart=40)
+    assert info["converged"]
+    np.testing.assert_allclose(np.asarray(x), xstar, rtol=2e-3, atol=2e-3)
+
+
+def test_gmres_restart_cycles():
+    from spmv_tpu.solvers import gmres
+
+    A = _nonsym(200, seed=9)
+    b = np.ones(200, np.float32)
+    # tiny restart forces multiple cycles; must still converge
+    x, info = gmres(A, b, rtol=1e-5, restart=8)
+    assert info["converged"]
+    r = b - A.to_dense() @ np.asarray(x)
+    assert np.linalg.norm(r) <= 1e-4 * np.linalg.norm(b) * 10
+
+
+def test_gmres_preconditioned_fewer_iters():
+    from spmv_tpu.solvers import gmres
+
+    A = _poisson2d(14)
+    b = np.ones(A.n_rows, np.float32)
+    x0, i0 = gmres(A, b, rtol=1e-6, restart=20)
+    x1, i1 = gmres(A, b, rtol=1e-6, restart=20, M="ilu0")
+    assert i1["converged"]
+    assert i1["iters"] <= i0["iters"]
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_gmres_validation():
+    from spmv_tpu.io.generate import random_csr
+    from spmv_tpu.solvers import gmres
+
+    A = random_csr(10, 12, nnz=30, seed=0)
+    with pytest.raises(ValueError, match="square"):
+        gmres(A, np.ones(10, np.float32))
+    B = _nonsym(16)
+    with pytest.raises(ValueError, match="shape"):
+        gmres(B, np.ones(7, np.float32))
