@@ -750,17 +750,25 @@ def _flat_cumsum_batched(v, R: int):
         v, triu, (((1,), (0,)), ((), ())),
         precision=_MM_PRECISION,
         preferred_element_type=v.dtype)
-    # per-block exclusive prefix of row totals: rtT[(s', t)] -> strict
-    # lower-tri matmul over sublanes of each block, all blocks at once
-    rtT = lane_scan[:, L - 1:L].reshape(T, R).T  # (R, T)
+    # Per-block exclusive prefix of row totals: one strict lower-tri
+    # (R,R)@(R,L) matmul per block on the lane-broadcast row totals.
+    # (A single (R,T)-shaped offset matrix would be cheaper arithmetic,
+    # but relayouting it to an (N,1) column is an unsupported Mosaic
+    # shape cast — lane values cannot become sublanes; the per-block
+    # broadcast form keeps every op in a supported layout.)
     si = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
     sj = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
     strict = (si > sj).astype(v.dtype)
-    offm = jax.lax.dot_general(
-        strict, rtT, (((1,), (0,)), ((), ())),
-        precision=_MM_PRECISION,
-        preferred_element_type=v.dtype)  # (R, T)
-    return lane_scan + offm.T.reshape(N, 1)
+    outs = []
+    for t in range(T):
+        blk = lane_scan[t * R:(t + 1) * R]
+        rt = jnp.broadcast_to(blk[:, L - 1:L], (R, L))
+        off = jax.lax.dot_general(
+            strict, rt, (((1,), (0,)), ((), ())),
+            precision=_MM_PRECISION,
+            preferred_element_type=v.dtype)
+        outs.append(blk + off)
+    return jnp.concatenate(outs, axis=0)
 
 
 def _scan_kernel_diff(sbt: int, fused: bool):
