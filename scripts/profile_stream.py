@@ -51,12 +51,14 @@ def main(nnz=3_300_000, iters=80):
 
     # --- stage inputs ---
     xp = jnp.pad(x, (0, plan.x_rows_pad * LANES - A.n_cols))
-    x2d = xp.reshape(-1, LANES)
+    x2d = jnp.swapaxes(
+        xp.reshape(-1, LANES, LANES), 1, 2).reshape(-1, LANES)
     n_aug = int(np.asarray(plan.hot_cols).shape[0])
     if n_aug:
+        hot_x = jnp.take(jnp.asarray(x), jnp.asarray(plan.hot_cols))
         aug = jnp.broadcast_to(
-            jnp.take(jnp.asarray(x), jnp.asarray(plan.hot_cols))[:, None],
-            (n_aug, LANES))
+            hot_x.reshape(-1, 1, LANES),
+            (n_aug // LANES, LANES, LANES)).reshape(-1, LANES)
         x2d = jnp.concatenate([x2d, aug], axis=0)
     x2d = jax.device_put(x2d)
 

@@ -6,14 +6,16 @@ lane gathers, (128,128) transposes, plan-driven block DMA. The
 pipeline (all orders precomputed at plan time, cached per matrix):
 
 1. **Gather pass** (Pallas): nnz ordered by column; each (128,128)
-   tile reads one 128-row window of x2d (= x reshaped (cols/128,128)),
-   fetched via a scalar-prefetched block index. Within the tile, slot
-   (s,l) holds a nnz with column ≡ l (mod 128); its x value is
-   obtained with a transposed lane gather xg[s,l] = xwin[q[s,l], l].
-   Hot columns (count ≥ threshold) are replicated into broadcast rows
-   of an augmented x table so heavy columns fill whole tiles instead
-   of a single lane. Emits products (semiring `combine`) in gather
-   order.
+   tile reads one 128x128 TRANSPOSED window of x (prepared once per
+   call in XLA), fetched via a scalar-prefetched block index. Within
+   the tile, slot (s,l) holds a nnz with column ≡ s (mod 128); its x
+   value is a NATIVE lane gather xg[s,l] = xt[s, q[s,l]] — no
+   in-kernel transposes (the transposed-slot layout measured 5x
+   faster than transposing inside the kernel, scratch/probe_gather).
+   Hot columns (count ≥ threshold) are replicated into broadcast
+   lanes of an augmented x table so heavy columns fill whole tiles
+   instead of a single sublane. Emits products (semiring `combine`)
+   in gather order.
 2. **Shuffle** (kernels/shuffle.py): routes products from gather order
    to row-sorted final tiles (2 split passes).
 3. **Scan pass** (Pallas): per final tile, a piecewise segmented scan
@@ -120,11 +122,13 @@ def _plan_gather(Aj: np.ndarray, policy: StreamPolicy, x_blocks_pad: int):
 
     Returns (slot_src, slot_q, xb, hot_cols):
       slot_src: (T*16384,) int64 CSR rank per slot, -1 junk
-      slot_q:   (T*16384,) int8 window-local x2d row, -1 junk
+      slot_q:   (T*16384,) int8 lane of the slot's x value within the
+                tile's transposed x window, -1 junk (slot (s,l) holds
+                a nnz with column ≡ s mod 128; q = (col // 128) % 128)
       xb:       (T,) int32 x window base per tile, in 128-row BLOCK units
                 (cold: 16K-column window index; hot: an aug page past
                 x_blocks_pad)
-      hot_cols: (n_pages*128,) int64 column replicated into each aug row
+      hot_cols: (n_pages*128,) int64 column replicated into each aug lane
     """
     nnz = Aj.shape[0]
     counts = np.bincount(Aj, minlength=0)
@@ -149,22 +153,22 @@ def _plan_gather(Aj: np.ndarray, policy: StreamPolicy, x_blocks_pad: int):
             continue
         idx = cold_idx[b:e]
         cols = cold_cols[b:e]
-        lanes = cols % LANES
-        qrows = (cols // LANES) - w * LANES  # in [0, 128)
-        lane_cnt = np.bincount(lanes, minlength=LANES)
-        t_w = int(-(-lane_cnt.max() // LANES))
-        # round-robin within each lane across t_w tiles (vectorized):
-        # the i-th entry of lane l goes to tile i%t_w, sublane i//t_w
+        subs = cols % LANES            # slot SUBLANE (fixed by column)
+        qlanes = (cols // LANES) - w * LANES  # in [0, 128): window lane
+        sub_cnt = np.bincount(subs, minlength=LANES)
+        t_w = int(-(-sub_cnt.max() // LANES))
+        # round-robin within each sublane across t_w tiles (vectorized):
+        # the i-th entry of sublane s goes to tile i%t_w, lane i//t_w
         srcs = np.full((t_w, TILE), -1, dtype=np.int64)
         qs = np.full((t_w, TILE), -1, dtype=np.int8)
-        lane_order = np.argsort(lanes, kind="stable")
-        lsorted = lanes[lane_order]
-        lb = np.searchsorted(lsorted, np.arange(LANES + 1))
-        within = np.arange(lsorted.shape[0]) - lb[lsorted]
+        sub_order = np.argsort(subs, kind="stable")
+        ssorted = subs[sub_order]
+        lb = np.searchsorted(ssorted, np.arange(LANES + 1))
+        within = np.arange(ssorted.shape[0]) - lb[ssorted]
         ti = within % t_w
-        s = within // t_w
-        srcs[ti, s * LANES + lsorted] = idx[lane_order]
-        qs[ti, s * LANES + lsorted] = qrows[lane_order]
+        lpos = within // t_w
+        srcs[ti, ssorted * LANES + lpos] = idx[sub_order]
+        qs[ti, ssorted * LANES + lpos] = qlanes[sub_order]
         for t_i in range(t_w):
             tiles_src.append(srcs[t_i])
             tiles_q.append(qs[t_i])
@@ -610,8 +614,8 @@ def _gather_kernel(sbt: int, sr: Semiring, identity: float):
             q = q_ref[j * LANES:(j + 1) * LANES, :].astype(jnp.int32)
             ax = ax_ref[j * LANES:(j + 1) * LANES, :]
             qc = jnp.where(q >= 0, q, 0)
-            # xg[s,l] = xwin[q[s,l], l] via transposed lane gather
-            xg = jnp.take_along_axis(xwins[j][...].T, qc.T, axis=1).T
+            # xg[s,l] = xt[s, q[s,l]]: native lane gather, no transposes
+            xg = jnp.take_along_axis(xwins[j][...], qc, axis=1)
             prod = sr.combine(ax, xg)
             out_ref[j * LANES:(j + 1) * LANES, :] = jnp.where(
                 q >= 0, prod, identity)
@@ -637,7 +641,7 @@ def _gather_split_kernel(sbt: int, sr: Semiring, identity: float,
             q = q_ref[j * LANES:(j + 1) * LANES, :].astype(jnp.int32)
             ax = ax_ref[j * LANES:(j + 1) * LANES, :]
             qc = jnp.where(q >= 0, q, 0)
-            xg = jnp.take_along_axis(xwins[j][...].T, qc.T, axis=1).T
+            xg = jnp.take_along_axis(xwins[j][...], qc, axis=1)
             prods.append(jnp.where(q >= 0, sr.combine(ax, xg), identity))
         scratch[...] = route3_batched(
             jnp.concatenate(prods, axis=0), s1_ref[...], s2_ref[...],
@@ -1038,14 +1042,19 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
     plan: StreamPlan = plan_cache(A, plan_cache_key(policy), _build)
     interp = config.use_interpret()
 
-    # --- x table: padded x2d + hot-column broadcast pages ---
+    # --- x table: per-window TRANSPOSED x blocks + hot-column
+    # broadcast pages (value replicated down each sublane of its lane).
+    # One XLA transpose pass over x (~2 reads+writes of 4 B/col) buys
+    # native lane gathers in the kernel.
     xp = jnp.pad(x.astype(val_dtype), (0, plan.x_rows_pad * LANES - A.n_cols))
-    x2d = xp.reshape(-1, LANES)
+    x2d = jnp.swapaxes(
+        xp.reshape(-1, LANES, LANES), 1, 2).reshape(-1, LANES)
     n_aug = int(np.asarray(plan.hot_cols).shape[0])
     if n_aug:
+        hot_x = jnp.take(x.astype(val_dtype), jnp.asarray(plan.hot_cols))
         aug = jnp.broadcast_to(
-            jnp.take(x.astype(val_dtype), jnp.asarray(plan.hot_cols))[:, None],
-            (n_aug, LANES))
+            hot_x.reshape(-1, 1, LANES),
+            (n_aug // LANES, LANES, LANES)).reshape(-1, LANES)
         x2d = jnp.concatenate([x2d, aug], axis=0)
 
     p0 = plan.shuffle.passes[0]

@@ -29,7 +29,7 @@ import numpy as np
 
 from spmv_tpu.formats import CSR
 
-_FORMAT_VERSION = 2  # v2: scan tiles padded to SBT_SCAN_MAX granules
+_FORMAT_VERSION = 3  # v3: transposed-window gather slot layout
 
 
 def plan_key(A: CSR, policy) -> str:
