@@ -115,14 +115,32 @@ def main(nnz=3_300_000, iters=80):
                      ("cid", "r1s1", "r1s2", "r1s3",
                       "p1s1", "p1s2", "p1s3",
                       "r2s1", "r2s2", "r2s3", "valid2"))
-               + plan.n_bins * 8192 * 4) / 1e9
+               + F_pad * 8192 * 4) / 1e9
     t_s = t("scan", lambda v: _scan_pass(
         v, s["cid"], s["r1s1"], s["r1s2"], s["r1s3"],
         s["p1s1"], s["p1s2"], s["p1s3"], s["rel2"],
-        s["r2s1"], s["r2s2"], s["r2s3"], s["valid2"], s["bins"],
-        s["first_touch"], s["first_idx"], s["cmask"], s["climit"],
+        s["r2s1"], s["r2s2"], s["r2s3"], s["valid2"],
+        s["first_idx"], s["cmask"], s["climit"],
         sr=sr, F_pad=F_pad, r1_fused=s["r1_fused"],
-        n_bins=plan.n_bins, interpret=interp), prod_fin, gb_scan)
+        interpret=interp), prod_fin, gb_scan)
+
+    from spmv_tpu.kernels.stream import _bin_merge
+    ycand = _scan_pass(
+        prod_fin, s["cid"], s["r1s1"], s["r1s2"], s["r1s3"],
+        s["p1s1"], s["p1s2"], s["p1s3"], s["rel2"],
+        s["r2s1"], s["r2s2"], s["r2s3"], s["valid2"],
+        s["first_idx"], s["cmask"], s["climit"],
+        sr=sr, F_pad=F_pad, r1_fused=s["r1_fused"], interpret=interp)
+    L_m = int(np.asarray(s["merge_idx"]).shape[0])
+    nlv = 0
+    lv = []
+    while f"mlv{nlv}_a" in s:
+        lv += [s[f"mlv{nlv}_a"], s[f"mlv{nlv}_b"]]
+        nlv += 1
+    gb_merge = ((L_m + 1) * plan.n_y_blocks * 128 * 4) / 1e9
+    t("merge", lambda v: _bin_merge(v, s["merge_idx"], *lv, sr=sr,
+                                    n_levels=nlv),
+      ycand, gb_merge)
 
     # end to end
     from spmv_tpu.kernels.stream import _stream_spmv, audit_plan

@@ -21,10 +21,15 @@ pipeline (all orders precomputed at plan time, cached per matrix):
 3. **Scan pass** (Pallas): per final tile, a piecewise segmented scan
    by local row id (the shuffle leaves rank-sorted runs separated by
    junk), semiring `reduce`; chunk-end values are extracted with one
-   in-register 3-stage routing into layered row windows; a carry
-   register chains rows spanning tiles (the decoupled-lookback
-   replacement, ref: merge_based/agent_segment_fixup.cuh); the y
-   window is written directly to its 1024-row bin (no XLA scatter).
+   in-register 3-stage routing into per-tile y-candidate windows,
+   written to a flat array on a single-level grid (so block fetches
+   pipeline against compute).
+4. **Window merge** (XLA): tile windows sit at per-tile 128-aligned
+   row bases (tiles stay ~full instead of being cut at fixed bin
+   boundaries); overlapping windows combine by a planned reduction
+   tree + a depth-2 layered semiring reduce — the decoupled-lookback
+   replacement (ref: merge_based/agent_segment_fixup.cuh). No XLA
+   scatter anywhere.
 
 Reference analog: the merge-path SpMV (ref: include/spmv/merge_based/*,
 merge_genl/*) — same contract (load-balanced CSR SpMV, semiring
@@ -108,9 +113,8 @@ class StreamPlan:
     gather: dict             # Ax, q, xb
     shuffle: ShufflePlan
     shuffle_dev: list
-    scan: dict               # rel, ends s1/s2/s3, valid, scalars, bins
-    touched_bins: jax.Array  # (n_bins,) bool
-    n_bins: int
+    scan: dict               # cid/rel2 streams, routes, merge_idx
+    n_y_blocks: int          # 128-row blocks of the merged y
 
 
 # ---------------------------------------------------------------------------
@@ -216,36 +220,38 @@ def _plan_gather(Aj: np.ndarray, policy: StreamPolicy, x_blocks_pad: int):
 
 
 def _final_tile_walk(Ap: np.ndarray, row_ids: np.ndarray, kappa: int):
-    """Cut the row-sorted nnz stream into final tiles: each takes up to
-    `kappa` nnz and never crosses a BIN_ROWS-row bin boundary (so its y
-    window is one aligned (BIN_ROWS/128,128) block of y2d). Returns
-    k_starts (F+1,), bin (F,), r_start (F,), lrow (F,)."""
+    """Cut the row-sorted nnz stream into final tiles: each takes up
+    to `kappa` nnz and spans fewer than BIN_ROWS rows from its own
+    128-aligned row base (its y window is a (BIN_ROWS/128, 128) block
+    at that base). Tiles do NOT align to fixed bins — overlapping
+    windows are merged outside the scan kernel — so tiles stay ~full
+    instead of being cut at every 8192-row boundary (the round-2
+    bin-aligned walk left tiles ~52% live on the bench matrix, which
+    taxed every downstream pass by the same factor). Returns k_starts
+    (F+1,), base (F,) int64, r_start (F,), lrow (F,)."""
     nnz = row_ids.shape[0]
     if nnz == 0:
-        return (np.zeros(1, np.int64), np.zeros(0, np.int32),
+        return (np.zeros(1, np.int64), np.zeros(0, np.int64),
                 np.zeros(0, np.int32), np.zeros(0, np.int32))
-    # vectorized: per-bin nnz ranges, then fixed-kappa cuts within each
-    n_bins = int(row_ids[-1]) // BIN_ROWS + 1
-    nb = np.searchsorted(
-        row_ids, np.arange(n_bins + 1, dtype=np.int64) * BIN_ROWS)
-    sizes = np.diff(nb)
-    tpb = -(-sizes // kappa)  # tiles per bin (0 for empty bins)
-    total = int(tpb.sum())
-    csum = np.concatenate([[0], np.cumsum(tpb)])[:-1]
-    off = np.arange(total, dtype=np.int64) - np.repeat(csum, tpb)
-    starts = np.repeat(nb[:-1], tpb) + off * kappa
-    ends = np.minimum(starts + kappa, np.repeat(nb[1:], tpb))
-    k_starts = np.concatenate([starts, [nnz]]).astype(np.int64)
-    bins = np.repeat(np.arange(n_bins, dtype=np.int32), tpb)
-    r_starts = row_ids[starts].astype(np.int32)
-    lrows = row_ids[ends - 1].astype(np.int32)
-    return k_starts, bins, r_starts, lrows
+    starts, bases = [], []
+    s = 0
+    while s < nnz:
+        base = int(row_ids[s]) & ~(LANES - 1)
+        lim = int(np.searchsorted(row_ids, base + BIN_ROWS, side="left"))
+        starts.append(s)
+        bases.append(base)
+        s = min(s + kappa, lim)
+    k_starts = np.asarray(starts + [nnz], dtype=np.int64)
+    bases = np.asarray(bases, dtype=np.int64)
+    r_starts = row_ids[k_starts[:-1]].astype(np.int32)
+    lrows = row_ids[k_starts[1:] - 1].astype(np.int32)
+    return k_starts, bases, r_starts, lrows
 
 
 HALF = TILE // 2  # flat boundary between the C and P route-1 halves
 
 
-def _plan_scan(plan_sh: ShufflePlan, k_starts, bins, r_starts, lrows,
+def _plan_scan(plan_sh: ShufflePlan, k_starts, bases, r_starts, lrows,
                row_ids):
     """Build per-final-tile scan streams from the simulated shuffle
     layout.
@@ -294,7 +300,7 @@ def _plan_scan(plan_sh: ShufflePlan, k_starts, bins, r_starts, lrows,
             (cid_s, rel2_s, src1c, src1p, src2, valid2, first_idx,
              cmask, climit, fuse_ok) = native.plan_scan(
                 np.asarray(k_starts, np.int64),
-                np.asarray(bins, np.int32),
+                np.asarray(bases, np.int64),
                 plan_sh.slot_of_dst, np.asarray(row_ids, np.int64),
                 BIN_ROWS)
             return _scan_route_streams(
@@ -321,7 +327,7 @@ def _plan_scan(plan_sh: ShufflePlan, k_starts, bins, r_starts, lrows,
         assert (local >= 0).all() and (local < TILE).all(), \
             "shuffle placed a rank outside its tile"
         rows = row_ids[a:b]
-        relv = (rows - bins[f] * BIN_ROWS).astype(np.int64)
+        relv = (rows - bases[f]).astype(np.int64)
         so = np.argsort(local)
         ls, rs = local[so], relv[so]
         # chunk ids: a new chunk at every row change in slot order
@@ -479,7 +485,7 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     while ki < len(kappas):
         kappa = kappas[ki]
         ki += 1
-        k_starts, bins, r_starts, lrows = _final_tile_walk(
+        k_starts, bases, r_starts, lrows = _final_tile_walk(
             Ap, row_ids, kappa)
         F = k_starts.shape[0] - 1
         if F == 0:
@@ -513,32 +519,23 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         if plan_sh is not None:
             _log(f"kappa={kappa} shuffle planned; scan planning")
             try:
-                scan = _plan_scan(plan_sh, k_starts, bins, r_starts,
+                scan = _plan_scan(plan_sh, k_starts, bases, r_starts,
                                   lrows, row_ids)
             except ValueError as e:  # scan capacity: too many chunks
                 last_err = e
                 _log(f"kappa={kappa} scan plan failed: {e}")
                 plan_sh = None
                 continue
-            walk = (k_starts, bins, r_starts, lrows)
+            walk = (k_starts, bases, r_starts, lrows)
             break
     if plan_sh is None:
         raise PlanCapacityError(f"shuffle planning failed: {last_err}")
-    k_starts, bins, r_starts, lrows = walk
+    k_starts, bases, r_starts, lrows = walk
     F = k_starts.shape[0] - 1
 
-    n_bins = -(-A.n_rows // BIN_ROWS)
-    touched = np.zeros(n_bins, dtype=bool)
-    touched[bins] = True
-    first_touch = np.ones(F, dtype=np.int32)
-    seen: set = set()
-    for f in range(F):
-        if int(bins[f]) in seen:
-            first_touch[f] = 0
-        seen.add(int(bins[f]))
 
     # pad scan tiles to a multiple of SBT_SCAN_MAX: padded tiles carry
-    # junk cid (masked to identity) and write the junk bin (n_bins).
+    # junk cid (masked to identity); merge_idx never references them.
     # Padding to the max granule (not policy.scan_sbt) makes one plan
     # serve every divisor scan_sbt — autotune sweeps without re-planning
     F_pad = -(-F // SBT_SCAN_MAX) * SBT_SCAN_MAX
@@ -565,8 +562,51 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         "climit": padt(scan["climit"], 0),
         "r1_fused": scan["r1_fused"],
     }
-    bins_p = padt(np.asarray(bins, np.int32), n_bins)
-    first_p = padt(first_touch, 1)
+
+    # merge plan: each 128-row y block gathers its contributing
+    # y-candidate window rows (tile windows overlap arbitrarily now
+    # that they sit at per-tile bases). Hub rows produce RUNS of tiles
+    # sharing one base — up to hundreds of contributors on one block —
+    # so deep blocks are first pair-reduced by a plan-time reduction
+    # tree (tiny takes over just the hub windows, appended as virtual
+    # rows), capping the final layered merge at depth 2.
+    # merge_idx[d, b] = the d-th contributing (real or virtual) ycand
+    # row of y block b, or the all-identity pad row (index F_pad*P).
+    P = BIN_ROWS // LANES
+    NBY = -(-A.n_rows // LANES)
+    fb = (bases // LANES).astype(np.int64)
+    lo = (r_starts.astype(np.int64) // LANES)
+    hi = (lrows.astype(np.int64) // LANES)
+    contrib: list = [[] for _ in range(NBY)]
+    for f in range(F):
+        for b in range(int(lo[f]), int(hi[f]) + 1):
+            contrib[b].append(f * P + int(b - fb[f]))
+    MERGE_CAP = 2
+    ident_row = F_pad * P
+    next_id = ident_row + 1
+    merge_levels: list = []  # [(ia, ib)] pairwise-reduce index arrays
+    while max((len(c) for c in contrib), default=0) > MERGE_CAP:
+        ia, ib = [], []
+        for b in range(NBY):
+            c = contrib[b]
+            if len(c) <= MERGE_CAP:
+                continue
+            nc = []
+            for i in range(0, len(c) - 1, 2):
+                ia.append(c[i])
+                ib.append(c[i + 1])
+                nc.append(next_id)
+                next_id += 1
+            if len(c) % 2:
+                nc.append(c[-1])
+            contrib[b] = nc
+        merge_levels.append((np.asarray(ia, np.int32),
+                             np.asarray(ib, np.int32)))
+    L_merge = max(max((len(c) for c in contrib), default=1), 1)
+    merge_idx = np.full((L_merge, NBY), ident_row, dtype=np.int32)
+    for b in range(NBY):
+        for d, r in enumerate(contrib[b]):
+            merge_idx[d, b] = r
 
     Ax_slots = np.where(slot_src >= 0, Ax[np.clip(slot_src, 0, nnz - 1)], 0)
 
@@ -585,10 +625,10 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
                   "r2s1", "r2s2", "r2s3", "valid2")
     }
     scan_dev.update({
-        "bins": jnp.asarray(bins_p),
-        "r_start": jnp.asarray(r_starts),
-        "lrow": jnp.asarray(lrows),
-        "first_touch": jnp.asarray(first_p),
+        "merge_idx": jnp.asarray(merge_idx),
+        **{f"mlv{k}_{h}": jnp.asarray(arr)
+           for k, pair in enumerate(merge_levels)
+           for h, arr in zip(("a", "b"), pair)},
         "first_idx": jnp.asarray(scan["first_idx"]),
         "cmask": jnp.asarray(scan["cmask"]),
         "climit": jnp.asarray(scan["climit"]),
@@ -600,7 +640,7 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         hot_cols=jnp.asarray(hot_cols.astype(np.int32)),
         gather=gather_dev, shuffle=plan_sh,
         shuffle_dev=shuffle_device_arrays(plan_sh),
-        scan=scan_dev, touched_bins=jnp.asarray(touched), n_bins=n_bins)
+        scan=scan_dev, n_y_blocks=NBY)
 
 
 # ---------------------------------------------------------------------------
@@ -788,72 +828,64 @@ def _scan_kernel_diff(sbt: int, fused: bool):
     """
     P = BIN_ROWS // LANES
 
-    def kernel(bins_ref, first_ref, fidx_ref, cmask_ref, climit_ref,
-               *refs):
+    def kernel(fidx_ref, cmask_ref, climit_ref, *refs):
         if fused:
             (prod_ref, cid_ref, r1s1_ref, r1s2_ref, r1s3_ref,
-             r2s1_ref, r2s2_ref, r2s3_ref, valid2_ref,
-             y_ref, ycand_ref) = refs
+             r2s1_ref, r2s2_ref, r2s3_ref, valid2_ref, out_ref) = refs
         else:
             (prod_ref, cid_ref, r1s1_ref, r1s2_ref, r1s3_ref,
              p1s1_ref, p1s2_ref, p1s3_ref,
-             r2s1_ref, r2s2_ref, r2s3_ref, valid2_ref,
-             y_ref, ycand_ref) = refs
+             r2s1_ref, r2s2_ref, r2s3_ref, valid2_ref, out_ref) = refs
         t = pl.program_id(0)
-        k = pl.program_id(1)
-        f = t * sbt + k
-        del bins_ref  # consumed by the out index map
 
-        # All sbt tiles are processed together at k == 0 (batched lane
-        # gathers + batched MXU cumsums amortize per-op overhead);
-        # inner steps only write their y bin from the scratch buffer.
-        @pl.when(k == 0)
-        def _compute():
-            cid = cid_ref[...].astype(jnp.int32)
-            prod = jnp.where(cid < 16384, prod_ref[...], 0.0)
-            S = _flat_cumsum_batched(prod, LANES)
-            C = _route3_batched(S, r1s1_ref[...], r1s2_ref[...],
-                                r1s3_ref[...])
-            C4 = C.reshape(sbt, 2, P, LANES)
-            Ce = C4[:, 0].reshape(sbt * P, LANES)
-            if fused:
-                Pe = C4[:, 1].reshape(sbt * P, LANES)
-            else:
-                Pv = _route3_batched(S, p1s1_ref[...], p1s2_ref[...],
-                                     p1s3_ref[...])
-                Pe = Pv.reshape(sbt, 2, P, LANES)[:, 0].reshape(
-                    sbt * P, LANES)
-            # per-tile scalars splat over each (P, LANES) block
-            ci = flat_iota((sbt * P, LANES)) % (P * LANES)
+        # sbt tiles per grid step (batched lane gathers + batched MXU
+        # cumsums amortize per-op overhead). The step writes its y
+        # candidate windows to a FLAT per-tile array — a single-level
+        # grid keeps the pipeline fetching step t+1's blocks while
+        # step t computes (the round-2 (T, sbt) grid put all compute
+        # on an inner step whose block fetch could only overlap a tiny
+        # window write, serializing DMA and compute — measured as
+        # exactly DMA floor + VPU time). Bin merging happens outside
+        # the kernel (one small MXU matmul / layered reduce).
+        cid = cid_ref[...].astype(jnp.int32)
+        prod = jnp.where(cid < 16384, prod_ref[...], 0.0)
+        S = _flat_cumsum_batched(prod, LANES)
+        C = _route3_batched(S, r1s1_ref[...], r1s2_ref[...],
+                            r1s3_ref[...])
+        C4 = C.reshape(sbt, 2, P, LANES)
+        Ce = C4[:, 0].reshape(sbt * P, LANES)
+        if fused:
+            Pe = C4[:, 1].reshape(sbt * P, LANES)
+        else:
+            Pv = _route3_batched(S, p1s1_ref[...], p1s2_ref[...],
+                                 p1s3_ref[...])
+            Pe = Pv.reshape(sbt, 2, P, LANES)[:, 0].reshape(
+                sbt * P, LANES)
+        # per-tile scalars splat over each (P, LANES) block
+        ci = flat_iota((sbt * P, LANES)) % (P * LANES)
 
-            def splat(ref):
-                return jnp.concatenate(
-                    [jnp.full((P, LANES), ref[t * sbt + i], jnp.int32)
-                     for i in range(sbt)], axis=0)
+        def splat(ref):
+            return jnp.concatenate(
+                [jnp.full((P, LANES), ref[t * sbt + i], jnp.int32)
+                 for i in range(sbt)], axis=0)
 
-            Pe = jnp.where(ci == splat(fidx_ref), jnp.zeros_like(Pe), Pe)
-            is_chunk = ((jnp.bitwise_and(ci - 1, splat(cmask_ref)) == 0)
-                        & (ci >= 1) & (ci < splat(climit_ref)))
-            D = jnp.where(is_chunk, Ce - Pe, jnp.zeros_like(Ce))
-            Q = _flat_cumsum_batched(D, P)
-            Q4 = Q.reshape(sbt, 1, P, LANES)
-            # route-2 source: [Q_i; Q_i] per tile (upper half: same
-            # coords, don't-care)
-            Qsrc = jnp.concatenate([Q4, Q4], axis=1).reshape(
-                sbt * LANES, LANES)
-            R2 = _route3_batched(Qsrc, r2s1_ref[...], r2s2_ref[...],
-                                 r2s3_ref[...])
-            R4 = R2.reshape(sbt, 2, P, LANES)
-            ends = R4[:, 0].reshape(sbt * P, LANES)
-            prevs = R4[:, 1].reshape(sbt * P, LANES)
-            vm = valid2_ref[...].astype(jnp.int32) > 0
-            ycand_ref[...] = jnp.where(vm, ends - prevs,
-                                       jnp.zeros_like(ends))
-
-        y_cand = ycand_ref[pl.ds(k * P, P), :]
-        prev = jnp.where(first_ref[f] == 1, jnp.zeros_like(y_cand),
-                         y_ref[...])
-        y_ref[...] = prev + y_cand
+        Pe = jnp.where(ci == splat(fidx_ref), jnp.zeros_like(Pe), Pe)
+        is_chunk = ((jnp.bitwise_and(ci - 1, splat(cmask_ref)) == 0)
+                    & (ci >= 1) & (ci < splat(climit_ref)))
+        D = jnp.where(is_chunk, Ce - Pe, jnp.zeros_like(Ce))
+        Q = _flat_cumsum_batched(D, P)
+        Q4 = Q.reshape(sbt, 1, P, LANES)
+        # route-2 source: [Q_i; Q_i] per tile (upper half: same
+        # coords, don't-care)
+        Qsrc = jnp.concatenate([Q4, Q4], axis=1).reshape(
+            sbt * LANES, LANES)
+        R2 = _route3_batched(Qsrc, r2s1_ref[...], r2s2_ref[...],
+                             r2s3_ref[...])
+        R4 = R2.reshape(sbt, 2, P, LANES)
+        ends = R4[:, 0].reshape(sbt * P, LANES)
+        prevs = R4[:, 1].reshape(sbt * P, LANES)
+        vm = valid2_ref[...].astype(jnp.int32) > 0
+        out_ref[...] = jnp.where(vm, ends - prevs, jnp.zeros_like(ends))
 
     return kernel
 
@@ -863,59 +895,48 @@ def _scan_kernel_roll(sr: Semiring, identity: float, sbt: int):
     reduce, no inverse assumed). Same plan streams as the diff path."""
     P = BIN_ROWS // LANES
 
-    def kernel(bins_ref, first_ref, fidx_ref, cmask_ref, climit_ref,
+    def kernel(fidx_ref, cmask_ref, climit_ref,
                prod_ref, cid_ref, r1s1_ref, r1s2_ref, r1s3_ref,
                rel2_ref, r2s1_ref, r2s2_ref, r2s3_ref, valid2_ref,
-               y_ref, ycand_ref):
-        t = pl.program_id(0)
-        k = pl.program_id(1)
-        f = t * sbt + k
-        del bins_ref, fidx_ref, cmask_ref, climit_ref
+               out_ref):
+        del fidx_ref, cmask_ref, climit_ref
 
-        @pl.when(k == 0)
-        def _compute():
-            for i in range(sbt):
-                def sl(ref):
-                    return ref[pl.ds(i * LANES, LANES), :]
+        for i in range(sbt):
+            def sl(ref):
+                return ref[pl.ds(i * LANES, LANES), :]
 
-                # scan 1: per-chunk totals (monotonic chunk ids; junk
-                # slots carry cid+16384 so segments bridge gaps at the
-                # identity value)
-                cid = sl(cid_ref).astype(jnp.int32)
-                prod = jnp.where(cid < 16384, sl(prod_ref),
-                                 jnp.full((LANES, LANES), identity,
-                                          dtype=prod_ref.dtype))
-                scan = segmented_scan_tile(prod, cid & 16383, sr.reduce,
-                                           identity)
+            # scan 1: per-chunk totals (monotonic chunk ids; junk
+            # slots carry cid+16384 so segments bridge gaps at the
+            # identity value)
+            cid = sl(cid_ref).astype(jnp.int32)
+            prod = jnp.where(cid < 16384, sl(prod_ref),
+                             jnp.full((LANES, LANES), identity,
+                                      dtype=prod_ref.dtype))
+            scan = segmented_scan_tile(prod, cid & 16383, sr.reduce,
+                                       identity)
 
-                # route1: chunk-end values into the rel-sorted compact
-                # layout, then scan 2 merges same-row chunks
-                ends = _route3(scan, sl(r1s1_ref), sl(r1s2_ref),
-                               sl(r1s3_ref))
-                rel2 = sl(rel2_ref).astype(jnp.int32)
-                ends = jnp.where(rel2 < 16384, ends,
-                                 jnp.full_like(ends, identity))
-                scan2 = segmented_scan_tile(ends, rel2 & 16383, sr.reduce,
-                                            identity)
+            # route1: chunk-end values into the rel-sorted compact
+            # layout, then scan 2 merges same-row chunks
+            ends = _route3(scan, sl(r1s1_ref), sl(r1s2_ref),
+                           sl(r1s3_ref))
+            rel2 = sl(rel2_ref).astype(jnp.int32)
+            ends = jnp.where(rel2 < 16384, ends,
+                             jnp.full_like(ends, identity))
+            scan2 = segmented_scan_tile(ends, rel2 & 16383, sr.reduce,
+                                        identity)
 
-                # route2: per-row totals into the rel-addressed y window
-                # (the A_end half; the A_prev half is diff-path-only)
-                y_full = _route3(scan2, sl(r2s1_ref), sl(r2s2_ref),
-                                 sl(r2s3_ref))
-                vm = valid2_ref[pl.ds(i * P, P), :].astype(jnp.int32) > 0
-                ycand_ref[pl.ds(i * P, P), :] = jnp.where(
-                    vm, y_full[:P, :],
-                    jnp.full((P, LANES), identity, dtype=y_full.dtype))
-
-        # reduce-merge into the bin window: rows split across tiles in
-        # ANY pattern combine by semiring associativity — no carry
-        # chain, no row-contiguity requirement (the decoupled-lookback
-        # fixup analog, ref: agent_segment_fixup.cuh, reduced to an
-        # accumulating revisit of the output block).
-        y_cand = ycand_ref[pl.ds(k * P, P), :]
-        ident_win = jnp.full((P, LANES), identity, dtype=y_cand.dtype)
-        prev = jnp.where(first_ref[f] == 1, ident_win, y_ref[...])
-        y_ref[...] = sr.reduce(prev, y_cand)
+            # route2: per-row totals into the rel-addressed y window
+            # (the A_end half; the A_prev half is diff-path-only).
+            # Rows split across tiles combine OUTSIDE the kernel by
+            # semiring associativity (layered reduce over each bin's
+            # windows — the decoupled-lookback fixup analog,
+            # ref: agent_segment_fixup.cuh).
+            y_full = _route3(scan2, sl(r2s1_ref), sl(r2s2_ref),
+                             sl(r2s3_ref))
+            vm = valid2_ref[pl.ds(i * P, P), :].astype(jnp.int32) > 0
+            out_ref[pl.ds(i * P, P), :] = jnp.where(
+                vm, y_full[:P, :],
+                jnp.full((P, LANES), identity, dtype=y_full.dtype))
 
     return kernel
 
@@ -958,16 +979,16 @@ def _gather_pass(x2d, ax, q, xb, *, sr: Semiring, sbt, n_tiles, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sr", "F_pad", "n_bins", "interpret", "r1_fused", "strategy",
-    "sbt"))
+    "sr", "F_pad", "interpret", "r1_fused", "strategy", "sbt"))
 def _scan_pass(prod_fin, cid, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
                rel2, r2s1, r2s2, r2s3,
-               valid2, bins, first_touch, first_idx, cmask, climit,
-               *, sr: Semiring, F_pad, n_bins, interpret, r1_fused,
+               valid2, first_idx, cmask, climit,
+               *, sr: Semiring, F_pad, interpret, r1_fused,
                strategy: str = "auto", sbt: int = SBT_SCAN):
-    """Scan over final tiles, `sbt` per outer grid step (big block
-    fetches amortize DMA latency; one y-bin write per inner step). The
-    output has a junk bin (index n_bins) receiving padded tiles."""
+    """Scan over final tiles, `sbt` per grid step, writing each tile's
+    y-candidate window to a FLAT (F_pad*P, 128) array (windows of the
+    same bin merge outside the kernel). A single-level grid lets the
+    pipeline prefetch step t+1's blocks during step t's compute."""
     identity = float(sr.identity_for(prod_fin.dtype))
     P = BIN_ROWS // LANES
     T = F_pad // sbt
@@ -975,7 +996,7 @@ def _scan_pass(prod_fin, cid, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
             and prod_fin.dtype == jnp.float32)
 
     def tile_spec(rows):
-        return pl.BlockSpec((rows * sbt, LANES), lambda t, k, *_: (t, 0))
+        return pl.BlockSpec((rows * sbt, LANES), lambda t, *_: (t, 0))
 
     if diff:
         kernel = _scan_kernel_diff(sbt, r1_fused)
@@ -994,22 +1015,49 @@ def _scan_pass(prod_fin, cid, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
                 valid2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(T, sbt),
+        num_scalar_prefetch=3,
+        grid=(T,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (P, LANES), lambda t, k, b, *_: (b[t * sbt + k], 0)),
-        scratch_shapes=[pltpu.VMEM((sbt * P, LANES), prod_fin.dtype)],
+        out_specs=pl.BlockSpec((sbt * P, LANES), lambda t, *_: (t, 0)),
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(((n_bins + 1) * P, LANES),
+        out_shape=jax.ShapeDtypeStruct((F_pad * P, LANES),
                                        prod_fin.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(bins, first_touch, first_idx, cmask, climit, *args)
+    )(first_idx, cmask, climit, *args)
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "n_levels"))
+def _bin_merge(ycand, merge_idx, *levels, sr: Semiring, n_levels: int):
+    """Merge per-tile y-candidate windows into y.
+
+    Tile windows sit at arbitrary 128-aligned per-tile row bases, so
+    each 128-row y block combines its contributing ycand rows. Hub
+    rows can put hundreds of tile windows on one block, so the plan
+    supplies a pairwise reduction tree (`levels` = (ia, ib) index
+    pairs per level; reduced rows are appended as virtual rows) that
+    caps the final layered merge at depth 2 (index F_pad*P = an
+    appended all-identity row). This is the cross-tile fixup (the
+    decoupled-lookback analog, ref: merge_based/agent_segment_fixup.cuh)
+    hoisted out of the scan kernel so the scan grid stays single-level
+    (pipelined).
+    """
+    ident = sr.identity_for(ycand.dtype)
+    ycp = jnp.concatenate(
+        [ycand, jnp.full((1, LANES), ident, ycand.dtype)], axis=0)
+    for k in range(n_levels):
+        ia, ib = levels[2 * k], levels[2 * k + 1]
+        v = sr.reduce(jnp.take(ycp, ia, axis=0),
+                      jnp.take(ycp, ib, axis=0))
+        ycp = jnp.concatenate([ycp, v], axis=0)
+    acc = jnp.take(ycp, merge_idx[0], axis=0)
+    for d in range(1, merge_idx.shape[0]):
+        acc = sr.reduce(acc, jnp.take(ycp, merge_idx[d], axis=0))
+    return acc.reshape(-1)
 
 
 def plan_cache_key(policy: StreamPolicy) -> tuple:
@@ -1087,22 +1135,24 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
         prod_fin = jnp.pad(
             prod_fin, ((0, F_pad * LANES - prod_fin.shape[0]), (0, 0)))
 
-    y2d = _scan_pass(
+    ycand = _scan_pass(
         prod_fin, plan.scan["cid"], plan.scan["r1s1"], plan.scan["r1s2"],
         plan.scan["r1s3"], plan.scan["p1s1"], plan.scan["p1s2"],
         plan.scan["p1s3"], plan.scan["rel2"], plan.scan["r2s1"],
         plan.scan["r2s2"], plan.scan["r2s3"], plan.scan["valid2"],
-        plan.scan["bins"], plan.scan["first_touch"],
         plan.scan["first_idx"], plan.scan["cmask"], plan.scan["climit"],
-        sr=semiring, F_pad=F_pad, n_bins=plan.n_bins, interpret=interp,
+        sr=semiring, F_pad=F_pad, interpret=interp,
         r1_fused=plan.scan["r1_fused"], strategy=policy.scan_strategy,
         sbt=policy.scan_sbt)
 
-    # drop the junk bin (padded scan tiles write bin n_bins)
-    y3 = y2d[: plan.n_bins * (BIN_ROWS // LANES)].reshape(
-        plan.n_bins, BIN_ROWS)
-    y3 = jnp.where(plan.touched_bins[:, None], y3, ident)
-    return y3.reshape(-1)[: A.n_rows]
+    n_levels = 0
+    lv = []
+    while f"mlv{n_levels}_a" in plan.scan:
+        lv += [plan.scan[f"mlv{n_levels}_a"], plan.scan[f"mlv{n_levels}_b"]]
+        n_levels += 1
+    y_flat = _bin_merge(ycand, plan.scan["merge_idx"], *lv,
+                        sr=semiring, n_levels=n_levels)
+    return y_flat[: A.n_rows]
 
 
 def audit_plan(plan: StreamPlan, nnz: int, val_bytes: int = 4) -> dict:
@@ -1129,7 +1179,9 @@ def audit_plan(plan: StreamPlan, nnz: int, val_bytes: int = 4) -> dict:
     if not plan.scan["r1_fused"]:
         scan_aux += 3
     passes["scan"] = int(F_pad * TILE * (val_bytes + scan_aux)
-                         + (plan.n_bins + 1) * BIN_ROWS * val_bytes * 2)
+                         + F_pad * BIN_ROWS * val_bytes)
+    L_m = int(np.asarray(plan.scan["merge_idx"]).shape[0])
+    passes["merge"] = int((L_m + 1) * plan.n_y_blocks * LB * val_bytes)
     total = sum(passes.values())
     return {
         "per_pass_bytes": passes,

@@ -124,7 +124,7 @@ def _load():
         P16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
         PI8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
         lib.spmv_plan_scan.argtypes = [
-            I64, P64, P32, P64, P64, ctypes.c_int32,
+            I64, P64, P64, P64, P64, ctypes.c_int32,
             P16, P16, P32, P32, P32, PI8, P32, P32, P32,
             ctypes.POINTER(ctypes.c_int32)]
         lib.spmv_plan_scan.restype = ctypes.c_int
@@ -377,11 +377,12 @@ def scatter_slots(fin, n_out: int):
     return out
 
 
-def plan_scan(k_starts, bins, slot_of_dst, row_ids, bin_rows: int):
+def plan_scan(k_starts, bases, slot_of_dst, row_ids, bin_rows: int):
     """Native per-final-tile scan stream construction (see
-    kernels/stream.py _plan_scan). Returns the stream dict pieces
-    before routing: (cid, rel2, src1c, src1p, src2, valid2,
-    first_idx, cmask, climit, fuse_ok)."""
+    kernels/stream.py _plan_scan). `bases` is each tile's 128-aligned
+    first row (rel = row - bases[f] must land in [0, bin_rows)).
+    Returns the stream dict pieces before routing: (cid, rel2, src1c,
+    src1p, src2, valid2, first_idx, cmask, climit, fuse_ok)."""
     lib = _load()
     if lib is None:
         raise NotImplementedError("native library unavailable")
@@ -389,7 +390,7 @@ def plan_scan(k_starts, bins, slot_of_dst, row_ids, bin_rows: int):
     F = k_starts.shape[0] - 1
     P = bin_rows // 128
     k_starts = np.ascontiguousarray(k_starts, np.int64)
-    bins = np.ascontiguousarray(bins, np.int32)
+    bases = np.ascontiguousarray(bases, np.int64)
     slot_of_dst = np.ascontiguousarray(slot_of_dst, np.int64)
     row_ids = np.ascontiguousarray(row_ids, np.int64)
     cid = np.empty((F, TILE), np.int16)
@@ -403,7 +404,7 @@ def plan_scan(k_starts, bins, slot_of_dst, row_ids, bin_rows: int):
     climit = np.zeros(F, np.int32)
     fuse = ctypes.c_int32(1)
     rc = lib.spmv_plan_scan(
-        F, k_starts, bins, slot_of_dst.reshape(-1), row_ids, bin_rows,
+        F, k_starts, bases, slot_of_dst.reshape(-1), row_ids, bin_rows,
         cid.reshape(-1), rel2.reshape(-1), src1c.reshape(-1),
         src1p.reshape(-1), src2.reshape(-1), valid2.reshape(-1),
         first_idx, cmask, climit, ctypes.byref(fuse))

@@ -938,7 +938,8 @@ int spmv_scatter_slots(int64_t n_fin, const int64_t* fin,
 // (mirror of the Python loop in kernels/stream.py _plan_scan; see its
 // docstring for the layout contract). One pass per tile, all O(TILE).
 //
-// Inputs: k_starts (F+1), bins (F), slot_of_dst (F*16384, the
+// Inputs: k_starts (F+1), bases (F, per-tile 128-aligned first row;
+// rel = row - bases[f] must land in [0, bin_rows)), slot_of_dst (F*16384, the
 // shuffle's simulated placement), row_ids (nnz). Outputs are the scan
 // streams: cid/rel2 (F*16384 i16), route sources src1c/src1p/src2
 // (F*16384 i32, -1 filled), valid2 (F*8192 i8), first_idx/cmask/
@@ -949,7 +950,7 @@ int spmv_scatter_slots(int64_t n_fin, const int64_t* fin,
 // are distinct), P-half keys live in dest rows >= 64 (disjoint from
 // C), and within the P half only the clamped first chunk can
 // duplicate a key (same predecessor slot twice) — an O(1) correction.
-int spmv_plan_scan(int64_t F, const int64_t* k_starts, const int32_t* bins,
+int spmv_plan_scan(int64_t F, const int64_t* k_starts, const int64_t* bases,
                    const int64_t* slot_of_dst, const int64_t* row_ids,
                    int32_t bin_rows,
                    int16_t* cid_s, int16_t* rel2_s,
@@ -980,7 +981,7 @@ int spmv_plan_scan(int64_t F, const int64_t* k_starts, const int32_t* bins,
     int64_t m = b - a;
     if (m <= 0 || m > T) { rc = fail("plan_scan: bad tile size"); break; }
     const int64_t* sod = slot_of_dst + f * T;
-    int64_t rel_base = (int64_t)bins[f] * bin_rows;
+    int64_t rel_base = bases[f];
     std::memset(pos2rank, 0xFF, T * sizeof(int32_t));
     for (int64_t i = 0; i < m; ++i) {
       int64_t s = sod[i] - f * T;

@@ -68,7 +68,7 @@ def set_active(fields: Optional[dict]):
     _ACTIVE = dict(fields) if fields is not None else None
 
 
-def autotune_stream(A, x, kappas=(8192, 10240, 12288, 14336),
+def autotune_stream(A, x, kappas=(8192, 10240, 12288, 14336, 16384),
                     iters=20, verbose=True):
     """Measure candidate tile sizes on the attached chip; returns
     (best_fields, results). Install with set_active / save_table."""

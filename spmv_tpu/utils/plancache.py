@@ -29,7 +29,7 @@ import numpy as np
 
 from spmv_tpu.formats import CSR
 
-_FORMAT_VERSION = 3  # v3: transposed-window gather slot layout
+_FORMAT_VERSION = 4  # v4: flat ycand scan output + bin-merge arrays
 
 
 def plan_key(A: CSR, policy) -> str:
@@ -65,13 +65,12 @@ def save_plan(plan, path: str) -> None:
         "n_final_tiles": plan.n_final_tiles,
         "layers": plan.layers,
         "x_rows_pad": plan.x_rows_pad,
-        "n_bins": plan.n_bins,
+        "n_y_blocks": plan.n_y_blocks,
         "sh.in_rows": plan.shuffle.in_rows,
         "sh.out_rows": plan.shuffle.out_rows,
         "sh.n_passes": len(plan.shuffle.passes),
     }
     arrays["hot_cols"] = np.asarray(plan.hot_cols)
-    arrays["touched_bins"] = np.asarray(plan.touched_bins)
     arrays["sh.slot_of_dst"] = np.asarray(plan.shuffle.slot_of_dst)
     _to_host(plan.gather, "gather", arrays, scalars)
     _to_host(plan.scan, "scan", arrays, scalars)
@@ -143,8 +142,7 @@ def load_plan(path: str):
         shuffle=plan_sh,
         shuffle_dev=shuffle_device_arrays(plan_sh),
         scan=scan,
-        touched_bins=jnp.asarray(z["touched_bins"]),
-        n_bins=scalars["n_bins"],
+        n_y_blocks=scalars["n_y_blocks"],
     )
 
 
