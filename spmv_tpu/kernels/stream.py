@@ -93,13 +93,22 @@ class StreamPolicy:
     # forces the log-step roll/segmented-scan kernel (the sequential/
     # tree in-register reduction analog, ref: cusp.cuh:82-136)
     scan_strategy: str = "auto"
+    # early reduction: collapse same-row products into one partial per
+    # (gather tile, sublane, row) run DURING the gather pass, so the
+    # shuffle/scan stream shrinks by the row-duplication factor (the
+    # within-thread accumulate of the GPU merge walk,
+    # ref: merge_based/agent_spmv_orig.cuh:340-384, done at plan time).
+    # "auto": on when the ring has an inverse AND the plan-time run
+    # count shows >= REDUCE_MIN_FACTOR duplication; "on" forces (raises
+    # if infeasible); "off" disables.
+    reduce: str = "auto"
 
     def structural_fields(self) -> dict:
         """Fields that shape the plan (= the plan-cache key).
         scan_sbt / scan_strategy only re-batch the same plan at
         dispatch time (tiles are padded to SBT_SCAN_MAX granules)."""
         return {"kappa": self.kappa, "hot_threshold": self.hot_threshold,
-                "gather_sbt": self.gather_sbt}
+                "gather_sbt": self.gather_sbt, "reduce": self.reduce}
 
 
 @dataclasses.dataclass
@@ -115,6 +124,10 @@ class StreamPlan:
     shuffle_dev: list
     scan: dict               # cid/rel2 streams, routes, merge_idx
     n_y_blocks: int          # 128-row blocks of the merged y
+    # early-reduction pass arrays (None = plain gather): c1/c2/c3 route
+    # stages, fm first-run mask, Qp partial quota rows per tile,
+    # out_rows of the (junk-padded) partial stream
+    reduce: Optional[dict] = None
 
 
 # ---------------------------------------------------------------------------
@@ -217,6 +230,181 @@ def _plan_gather(Aj: np.ndarray, policy: StreamPolicy, x_blocks_pad: int):
     xb = np.asarray(xb_list, dtype=np.int32)
     assert slot_src[slot_src >= 0].size == nnz
     return slot_src, slot_q, xb, np.asarray(hot_cols, dtype=np.int64)
+
+
+REDUCE_MIN_FACTOR = 1.5  # nnz per partial below which pass-0 reduction
+# does not pay for its extra per-tile compute (one lane-prefix matmul +
+# one route, ~0.45 us/tile measured-class costs)
+REDUCE_MAX_RUNS = 8192   # partials per tile: C/P occupy the two 64-row
+# halves of one routed (128,128) tile
+
+
+def _plan_gather_reduce(Aj: np.ndarray, row_ids: np.ndarray,
+                        policy: StreamPolicy, x_blocks_pad: int):
+    """Gather plan with early row-reduction.
+
+    Same slot constraints as `_plan_gather` (cold slot sublane fixed by
+    col mod 128 within its 16K-column x window; hot pages free-form)
+    but each (tile, sublane) is filled CONTIGUOUSLY BY ROW instead of
+    round-robin, so same-row products form lane RUNS. Pass 0 collapses
+    each run to one partial: lane-prefix cumsum (one MXU matmul) +
+    one 3-stage route of the run-end prefixes to compact positions;
+    the predecessor value is a flat shift of the routed stream (runs
+    are emitted in sublane-major order, so run p's predecessor-end IS
+    the value at p-1, with sublane-first runs masked to zero) — no
+    second route, and the C route is injective (dedupe-free) with
+    per-source-row degree <= 128 always.
+
+    This is the TPU analog of the merge walk's within-thread
+    accumulation (ref: merge_based/agent_spmv_orig.cuh:340-384): the
+    GPU reduces consecutive same-row items in registers; here the
+    planner MAKES items lane-consecutive and one matmul reduces them.
+
+    Returns None when reduction cannot fit (> REDUCE_MAX_RUNS runs in
+    a tile) or would not pay (duplication < REDUCE_MIN_FACTOR).
+    Otherwise returns (slot_src, slot_q, xb, hot_cols, red) with red =
+    dict(src_route, firstmask, part_rows, tile_of_part, Qp).
+    """
+    nnz = Aj.shape[0]
+    counts = np.bincount(Aj, minlength=0)
+    hot_mask_col = counts >= policy.hot_threshold
+    is_hot = hot_mask_col[Aj]
+    W = 128 * LANES
+
+    tiles_src: list = []
+    tiles_q: list = []
+    xb_list: list = []
+    hot_cols: list = []
+
+    # --- cold: per (window, sublane) bucket, sorted by row, cut into
+    # contiguous 128-lane chunks across the window's tiles ---
+    cold_idx = np.nonzero(~is_hot)[0]
+    if cold_idx.size:
+        ccols = Aj[cold_idx]
+        crows = row_ids[cold_idx]
+        win = ccols // W
+        sub = ccols % LANES
+        order = np.lexsort((ccols, crows, sub, win))
+        cold_idx = cold_idx[order]
+        ccols = ccols[order]
+        win = win[order]
+        sub = sub[order]
+        qlan = ((ccols // LANES) % LANES).astype(np.int8)
+        bkey = win * LANES + sub
+        ub, ustart = np.unique(bkey, return_index=True)
+        pos = np.arange(bkey.shape[0]) - ustart[
+            np.searchsorted(ub, bkey)]
+        blen = np.diff(np.concatenate([ustart, [bkey.shape[0]]]))
+        n_w = int(win[-1]) + 1
+        maxlen = np.zeros(n_w, dtype=np.int64)
+        np.maximum.at(maxlen, ub // LANES, blen)
+        t_w = -(-maxlen // LANES)
+        tile_base = np.concatenate([[0], np.cumsum(t_w)])
+        tile_of = tile_base[win] + pos // LANES
+        lane_of = pos % LANES
+        T_cold = int(tile_base[-1])
+        src = np.full(T_cold * TILE, -1, dtype=np.int64)
+        qv = np.full(T_cold * TILE, -1, dtype=np.int8)
+        slot = tile_of * TILE + sub * LANES + lane_of
+        src[slot] = cold_idx
+        qv[slot] = qlan
+        for t in range(T_cold):
+            tiles_src.append(src[t * TILE:(t + 1) * TILE])
+            tiles_q.append(qv[t * TILE:(t + 1) * TILE])
+        xb_list.extend(np.repeat(np.arange(n_w), t_w).tolist())
+
+    # --- hot: page packing as in _plan_gather, then each tile's
+    # entries re-sorted by row and refilled sublane-major (hot slots
+    # have no sublane constraint: q is the aug-page row per slot) ---
+    hot_idx = np.nonzero(is_hot)[0]
+    if hot_idx.size:
+        hcols = Aj[hot_idx]
+        horder = np.argsort(hcols, kind="stable")
+        hot_idx = hot_idx[horder]
+        hcols = hcols[horder]
+        p = 0
+        n = hot_idx.shape[0]
+        while p < n:
+            ent_src: list = []
+            ent_q: list = []
+            page = np.zeros(LANES, dtype=np.int64)
+            nrows = 0
+            while p < n and len(ent_src) < TILE and nrows < LANES:
+                c = hcols[p]
+                e = int(np.searchsorted(hcols, c, side="right"))
+                take = min(e - p, TILE - len(ent_src))
+                page[nrows] = c
+                ent_src.extend(hot_idx[p:p + take].tolist())
+                ent_q.extend([nrows] * take)
+                nrows += 1
+                p += take
+            es = np.asarray(ent_src, dtype=np.int64)
+            eq = np.asarray(ent_q, dtype=np.int8)
+            ro = np.argsort(row_ids[es], kind="stable")
+            src = np.full(TILE, -1, dtype=np.int64)
+            qv = np.full(TILE, -1, dtype=np.int8)
+            src[:es.shape[0]] = es[ro]
+            qv[:es.shape[0]] = eq[ro]
+            tiles_src.append(src)
+            tiles_q.append(qv)
+            xb_list.append(x_blocks_pad + len(hot_cols) // LANES)
+            hot_cols.extend(page.tolist())
+
+    T = len(tiles_src)
+    slot_src = (np.concatenate(tiles_src) if T else
+                np.empty(0, np.int64))
+    slot_q = (np.concatenate(tiles_q) if T else np.empty(0, np.int8))
+    xb = np.asarray(xb_list, dtype=np.int32)
+    assert slot_src[slot_src >= 0].size == nnz
+
+    # --- run structure over (tile, sublane) lanes ---
+    rows3 = np.where(slot_src >= 0,
+                     row_ids[np.clip(slot_src, 0, None)],
+                     -1).reshape(T, LANES, LANES)
+    live = rows3 >= 0
+    prev_row = np.full_like(rows3, -2)
+    prev_row[:, :, 1:] = rows3[:, :, :-1]
+    is_start = live & (rows3 != prev_row)
+    t_i, s_i, l_i = np.nonzero(is_start)  # C order = emission order
+    n_runs = t_i.shape[0]
+    if n_runs == 0 or nnz / n_runs < REDUCE_MIN_FACTOR:
+        return None
+    R_t = np.bincount(t_i, minlength=T)
+    if int(R_t.max()) > REDUCE_MAX_RUNS:
+        return None
+
+    # run end lane: next start's lane - 1 within the same (t, s),
+    # else the sublane's last live lane (entries fill lanes from 0)
+    live_len = live.sum(axis=2)  # (T, LANES)
+    same_bucket = np.zeros(n_runs, dtype=bool)
+    if n_runs > 1:
+        same_bucket[:-1] = (t_i[1:] == t_i[:-1]) & (s_i[1:] == s_i[:-1])
+    end_lane = np.where(
+        same_bucket,
+        np.concatenate([l_i[1:], [0]]) - 1,
+        live_len[t_i, s_i] - 1)
+
+    # compact dest position p = run index within its tile
+    tile_start = np.concatenate([[0], np.cumsum(R_t)])
+    p_of = np.arange(n_runs) - tile_start[t_i]
+    src_route = np.full((T, LANES, LANES), -1, dtype=np.int32)
+    src_route[t_i, p_of // LANES, p_of % LANES] = \
+        (s_i * LANES + end_lane).astype(np.int32)
+    firstmask = np.zeros((T, REDUCE_MAX_RUNS // LANES, LANES),
+                         dtype=np.int8)
+    fr = l_i == 0  # first run of its sublane
+    firstmask[t_i[fr], p_of[fr] // LANES, p_of[fr] % LANES] = 1
+
+    part_rows = rows3[t_i, s_i, l_i]  # row per partial, emission order
+    red = {
+        "src_route": src_route,
+        "firstmask": firstmask,
+        "part_rows": part_rows,
+        "tile_of_part": t_i,
+        "p_of_part": p_of,
+        "n_runs": n_runs,
+    }
+    return slot_src, slot_q, xb, np.asarray(hot_cols, dtype=np.int64), red
 
 
 def _final_tile_walk(Ap: np.ndarray, row_ids: np.ndarray, kappa: int):
@@ -438,22 +626,49 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     x_blocks_pad = -(-A.n_cols // (LANES * LANES))
     x_rows_pad = x_blocks_pad * LANES
 
-    slot_src, slot_q, xb, hot_cols = _plan_gather(Aj, policy, x_blocks_pad)
+    red = None
+    if policy.reduce != "off":
+        res = _plan_gather_reduce(Aj, row_ids, policy, x_blocks_pad)
+        if res is None:
+            if policy.reduce == "on":
+                raise PlanCapacityError(
+                    "reduce='on' but early reduction is infeasible or "
+                    "unprofitable for this matrix (runs/tile > "
+                    f"{REDUCE_MAX_RUNS} or duplication < "
+                    f"{REDUCE_MIN_FACTOR})")
+        else:
+            slot_src, slot_q, xb, hot_cols, red = res
+    if red is None:
+        slot_src, slot_q, xb, hot_cols = _plan_gather(
+            Aj, policy, x_blocks_pad)
     n_gather_tiles = xb.shape[0]
 
-    # pad gather tiles to a shuffle-friendly size (multiple of 128)
     if n_gather_tiles > 16384:
         raise PlanCapacityError(
             f"matrix too large for the shuffle planner: {n_gather_tiles} "
             f"gather tiles > 16384 (~240M nnz); use kind "
             f"'merge_tiled'/'xla'")
-    pad_tiles = max(128, -(-n_gather_tiles // 128) * 128)
+    # pad gather tiles: with reduction, pass-0 tiles only need the
+    # sbt=8 grid granule (x16 so tiles*Qp stays 128-row aligned); the
+    # SHUFFLE input is then the (smaller) partial stream, padded to
+    # the shuffle's own 128-tile granule below. Without reduction the
+    # gather output IS the shuffle input.
+    pad_tiles = (max(16, -(-n_gather_tiles // 16) * 16) if red is not None
+                 else max(128, -(-n_gather_tiles // 128) * 128))
     padn = pad_tiles - n_gather_tiles
     if padn:
         slot_src = np.concatenate(
             [slot_src, np.full(padn * TILE, -1, np.int64)])
         slot_q = np.concatenate([slot_q, np.full(padn * TILE, -1, np.int8)])
         xb = np.concatenate([xb, np.zeros(padn, np.int32)])
+        if red is not None:
+            red["src_route"] = np.concatenate(
+                [red["src_route"],
+                 np.full((padn, LANES, LANES), -1, np.int32)])
+            red["firstmask"] = np.concatenate(
+                [red["firstmask"],
+                 np.zeros((padn, REDUCE_MAX_RUNS // LANES, LANES),
+                          np.int8)])
 
     # Final-tile capacity, region geometry and pass-1 quota are chosen
     # together: smaller matrices need emptier final tiles (smaller
@@ -461,7 +676,50 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     # tile) share. A cheap exact count check prunes infeasible
     # combinations before the expensive full plan (which still
     # validates pass 2 exactly and raises on overflow).
-    rank_of_slot = slot_src  # CSR order IS row-sorted rank order
+    if red is not None:
+        # Deal pass-0 tiles round-robin by descending partial count
+        # across the grid steps: the partial stream is junk-padded and
+        # per-tile counts vary, and the downstream pass-1 regions fill
+        # by SOURCE STEP — without this, live partials cluster in the
+        # early region content tiles and the final pass's per-flow
+        # quota cap fails at any useful kappa (measured: shrink->1024).
+        R_t = np.bincount(red["tile_of_part"], minlength=pad_tiles)
+        order_t = np.argsort(-R_t, kind="stable")
+        n_steps0 = pad_tiles // 8
+        perm = np.empty(pad_tiles, np.int64)  # perm[new tile] = old
+        new_pos = ((np.arange(pad_tiles) % n_steps0) * 8
+                   + np.arange(pad_tiles) // n_steps0)
+        perm[new_pos] = order_t
+        slot_src = slot_src.reshape(pad_tiles, TILE)[perm].reshape(-1)
+        slot_q = slot_q.reshape(pad_tiles, TILE)[perm].reshape(-1)
+        xb = xb[perm]
+        red["src_route"] = red["src_route"][perm]
+        red["firstmask"] = red["firstmask"][perm]
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(pad_tiles)
+        red["tile_of_part"] = inv[red["tile_of_part"]]
+
+        # the shuffled stream is the PARTIAL stream: one value per
+        # (tile, sublane, row) run, at out slot tile*Qp*128 + p
+        n_runs = red["n_runs"]
+        Qp = max(8, -(-(int(red["p_of_part"].max()) + 1) // LANES
+                      // 8) * 8)
+        stream_tiles = pad_tiles * Qp // LANES
+        s_pad = max(128, -(-stream_tiles // 128) * 128)
+        order = np.argsort(red["part_rows"], kind="stable")
+        rows_ranked = red["part_rows"][order]
+        rank_of_part = np.empty(n_runs, np.int64)
+        rank_of_part[order] = np.arange(n_runs)
+        outslot = red["tile_of_part"] * (Qp * LANES) + red["p_of_part"]
+        rank_of_slot = np.full(s_pad * TILE, -1, np.int64)
+        rank_of_slot[outslot] = rank_of_part
+        n_items = n_runs
+        red["Qp"] = Qp
+        red["out_rows"] = s_pad * LANES
+    else:
+        rank_of_slot = slot_src  # CSR order IS row-sorted rank order
+        rows_ranked = row_ids
+        n_items = nnz
     live = rank_of_slot >= 0
 
     import os
@@ -478,24 +736,31 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     last_err: Optional[Exception] = None
     plan_sh = None
     walk = None
-    kappas = [k for k in (policy.kappa, 12288, 10240, 8192, 6144, 4096,
+    # With early reduction the final tiles fill from a 5-20x smaller
+    # partial stream packed into FEW source tiles; the final split
+    # pass's per-flow quota cap (~(q_last-1)*128 through 8-16 region
+    # content tiles) cannot feed 14336-deep tiles from so few sources,
+    # so cap kappa at 8192 (53% of the 8-flow cap) — the scan is tiny
+    # after reduction, fuller tiles buy nothing.
+    kap0 = policy.kappa if red is None else min(policy.kappa, 8192)
+    kappas = [k for k in (kap0, 12288, 10240, 8192, 6144, 4096,
                           3072, 2048, 1024, 512, 256)
-              if k <= policy.kappa]
+              if k <= kap0]
     ki = 0
     while ki < len(kappas):
         kappa = kappas[ki]
         ki += 1
         k_starts, bases, r_starts, lrows = _final_tile_walk(
-            Ap, row_ids, kappa)
+            Ap, rows_ranked, kappa)
         F = k_starts.shape[0] - 1
         if F == 0:
             raise ValueError("empty matrix; handled by caller")
         sizes = np.diff(k_starts)
         ftile_of_rank = np.repeat(
             np.arange(F, dtype=np.int64), sizes)
-        dst_of_rank = (ftile_of_rank * TILE + np.arange(nnz)
+        dst_of_rank = (ftile_of_rank * TILE + np.arange(n_items)
                        - np.repeat(k_starts[:-1], sizes))
-        dst_pos = np.full(slot_src.shape[0], -1, dtype=np.int64)
+        dst_pos = np.full(rank_of_slot.shape[0], -1, dtype=np.int64)
         dst_pos[live] = dst_of_rank[rank_of_slot[live]]
 
         try:
@@ -520,7 +785,7 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
             _log(f"kappa={kappa} shuffle planned; scan planning")
             try:
                 scan = _plan_scan(plan_sh, k_starts, bases, r_starts,
-                                  lrows, row_ids)
+                                  lrows, rows_ranked)
             except ValueError as e:  # scan capacity: too many chunks
                 last_err = e
                 _log(f"kappa={kappa} scan plan failed: {e}")
@@ -618,6 +883,17 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         "q": dput(slot_q.reshape(-1, LANES)),
         "xb": jnp.asarray(xb),
     }
+    reduce_dev = None
+    if red is not None:
+        c1, c2, c3 = route_tiles(red["src_route"], dedupe=False)
+        reduce_dev = {
+            "c1": dput(c1.reshape(-1, LANES)),
+            "c2": dput(c2.reshape(-1, LANES)),
+            "c3": dput(c3.reshape(-1, LANES)),
+            "fm": dput(red["firstmask"].reshape(-1, LANES)),
+            "Qp": int(red["Qp"]),
+            "out_rows": int(red["out_rows"]),
+        }
     scan_dev = {
         k: dput(scan[k].reshape(-1, LANES))
         for k in ("cid", "rel2", "r1s1", "r1s2", "r1s3",
@@ -640,7 +916,7 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         hot_cols=jnp.asarray(hot_cols.astype(np.int32)),
         gather=gather_dev, shuffle=plan_sh,
         shuffle_dev=shuffle_device_arrays(plan_sh),
-        scan=scan_dev, n_y_blocks=NBY)
+        scan=scan_dev, n_y_blocks=NBY, reduce=reduce_dev)
 
 
 # ---------------------------------------------------------------------------
@@ -733,6 +1009,96 @@ def _gather_split_pass(x2d, ax, q, xb, s1, s2, s3, starts, pos, *,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(xb, pos, starts, ax, q, s1, s2, s3, *([x2d] * sbt))
+
+
+def _reduce_kernel(sbt: int, sr: Semiring, identity: float, Qp: int):
+    """Fused gather + early row-reduction (pass 0 of the reduced
+    pipeline). Products are formed in registers; one MXU lane-prefix
+    matmul gives per-sublane running sums; the planned C route drops
+    each run-end prefix at its compact partial position; the
+    predecessor prefix is a flat shift-by-1 of the routed stream
+    (emission order makes run p-1 the predecessor of run p within a
+    sublane; sublane-first runs are masked to zero by `fm`). Partials
+    = C - P leave in Qp-row quota blocks per tile."""
+    from spmv_tpu.kernels.pallas_utils import route3_batched
+
+    HROWS = REDUCE_MAX_RUNS // LANES  # 64: the C half of a routed tile
+
+    def kernel(xb_ref, ax_ref, q_ref, c1_ref, c2_ref, c3_ref, fm_ref,
+               *rest):
+        del xb_ref  # consumed by the x-window index maps
+        xwins = rest[:sbt]
+        out_ref = rest[sbt]
+        prods = []
+        for j in range(sbt):
+            q = q_ref[j * LANES:(j + 1) * LANES, :].astype(jnp.int32)
+            ax = ax_ref[j * LANES:(j + 1) * LANES, :]
+            qc = jnp.where(q >= 0, q, 0)
+            xg = jnp.take_along_axis(xwins[j][...], qc, axis=1)
+            prods.append(jnp.where(q >= 0, sr.combine(ax, xg), identity))
+        v = jnp.concatenate(prods, axis=0)
+        li = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        lj = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        triu = (li <= lj).astype(v.dtype)
+        S = jax.lax.dot_general(
+            v, triu, (((1,), (0,)), ((), ())),
+            precision=_MM_PRECISION, preferred_element_type=v.dtype)
+        routed = route3_batched(S, c1_ref[...], c2_ref[...], c3_ref[...])
+        C = jnp.concatenate(
+            [routed[j * LANES:j * LANES + HROWS] for j in range(sbt)],
+            axis=0)
+        rl = pltpu.roll(C, 1, 1)
+        # lane 0 takes the previous sublane's lane 127; the roll
+        # wrapping across tile blocks (and around row 0) only ever
+        # lands on p=0 slots, which are sublane-first runs -> masked
+        prev = jnp.where(lane_iota(C.shape) == 0, pltpu.roll(rl, 1, 0),
+                         rl)
+        fm = fm_ref[...].astype(jnp.int32)
+        P = jnp.where(fm > 0, jnp.zeros_like(prev), prev)
+        part = C - P
+        out_ref[...] = jnp.concatenate(
+            [part[j * HROWS:j * HROWS + Qp] for j in range(sbt)], axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sr", "sbt", "n_tiles", "Qp", "out_rows", "interpret"))
+def _reduce_pass(x2d, ax, q, xb, c1, c2, c3, fm, *, sr: Semiring, sbt,
+                 n_tiles, Qp, out_rows, interpret):
+    """Pass 0 of the reduced pipeline: (n_tiles) gather tiles in, a
+    junk-padded (out_rows, 128) partial stream out (rows past
+    n_tiles*Qp are never written; the downstream shuffle plans around
+    them as junk)."""
+    identity = float(sr.identity_for(ax.dtype))
+    n_steps = n_tiles // sbt
+    HROWS = REDUCE_MAX_RUNS // LANES
+
+    def xwin_map(j):
+        return lambda t, xb: (xb[t * sbt + j], 0)
+
+    def blk(rows):
+        return pl.BlockSpec((rows, LANES), lambda t, xb: (t, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=(
+            [blk(sbt * LANES)] * 5
+            + [blk(sbt * HROWS)]
+            + [pl.BlockSpec((LANES, LANES), xwin_map(j))
+               for j in range(sbt)]
+        ),
+        out_specs=pl.BlockSpec((sbt * Qp, LANES), lambda t, xb: (t, 0)),
+    )
+    return pl.pallas_call(
+        _reduce_kernel(sbt, sr, identity, Qp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, LANES), ax.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xb, ax, q, c1, c2, c3, fm, *([x2d] * sbt))
 
 
 def _route3(v, s1_ref, s2_ref, s3_ref):
@@ -1071,6 +1437,14 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
     ident = float(semiring.identity_for(np.dtype(val_dtype)))
     if A.nnz == 0 or A.n_cols == 0:
         return jnp.full((A.n_rows,), ident, dtype=val_dtype)
+    # early reduction computes run totals as prefix DIFFERENCES — it
+    # needs the ring inverse and full-width floats (bf16 prefixes would
+    # lose the low bits the subtraction recovers)
+    if policy.reduce != "off" and not (
+            semiring.name == "plus_times"
+            and np.dtype(val_dtype) in (np.dtype(np.float32),
+                                        np.dtype(np.float64))):
+        policy = dataclasses.replace(policy, reduce="off")
 
     # plan structure is independent of the scan strategy: key on the
     # structural fields only so roll/auto variants share one plan.
@@ -1106,7 +1480,15 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
         x2d = jnp.concatenate([x2d, aug], axis=0)
 
     p0 = plan.shuffle.passes[0]
-    if p0.sbt == 8 and p0.n_steps * 8 == plan.n_gather_tiles:
+    if plan.reduce is not None:
+        rd = plan.reduce
+        part = _reduce_pass(
+            x2d, plan.gather["Ax"].astype(val_dtype), plan.gather["q"],
+            plan.gather["xb"], rd["c1"], rd["c2"], rd["c3"], rd["fm"],
+            sr=semiring, sbt=8, n_tiles=plan.n_gather_tiles,
+            Qp=rd["Qp"], out_rows=rd["out_rows"], interpret=interp)
+        prod_fin = apply_shuffle(part, plan.shuffle, plan.shuffle_dev)
+    elif p0.sbt == 8 and p0.n_steps * 8 == plan.n_gather_tiles:
         # fused gather + split-1: products never round-trip HBM
         d0 = plan.shuffle_dev[0]
         prod_fin = _gather_split_pass(
@@ -1166,10 +1548,17 @@ def audit_plan(plan: StreamPlan, nnz: int, val_bytes: int = 4) -> dict:
     p0 = plan.shuffle.passes[0]
     fused01 = p0.sbt == 8 and p0.n_steps * 8 == gt
     passes = {}
-    # gather: Ax (val) + q (1B) + one (128,128) x window per tile
-    # (+ the product write only when NOT fused into split-1)
-    passes["gather"] = gt * TILE * (val_bytes + 1 + val_bytes) \
-        + (0 if fused01 else gt * TILE * val_bytes)
+    if plan.reduce is not None:
+        # reduce pass: Ax + q + x window + 3 route stages + firstmask,
+        # writing only Qp partial rows per tile
+        passes["reduce"] = int(
+            gt * TILE * (2 * val_bytes + 1 + 3 + 0.5)
+            + gt * plan.reduce["Qp"] * LANES * val_bytes)
+    else:
+        # gather: Ax (val) + q (1B) + one (128,128) x window per tile
+        # (+ the product write only when NOT fused into split-1)
+        passes["gather"] = gt * TILE * (val_bytes + 1 + val_bytes) \
+            + (0 if fused01 else gt * TILE * val_bytes)
     for i, p in enumerate(plan.shuffle.passes):
         rows = p.n_steps * p.sbt * LB
         rw = val_bytes if (i == 0 and fused01) else 2 * val_bytes

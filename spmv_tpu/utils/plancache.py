@@ -29,7 +29,7 @@ import numpy as np
 
 from spmv_tpu.formats import CSR
 
-_FORMAT_VERSION = 4  # v4: flat ycand scan output + bin-merge arrays
+_FORMAT_VERSION = 5  # v5: optional early-reduction (pass 0) arrays
 
 
 def plan_key(A: CSR, policy) -> str:
@@ -74,6 +74,8 @@ def save_plan(plan, path: str) -> None:
     arrays["sh.slot_of_dst"] = np.asarray(plan.shuffle.slot_of_dst)
     _to_host(plan.gather, "gather", arrays, scalars)
     _to_host(plan.scan, "scan", arrays, scalars)
+    if plan.reduce is not None:
+        _to_host(plan.reduce, "reduce", arrays, scalars)
     for i, p in enumerate(plan.shuffle.passes):
         pre = f"sh.p{i}"
         for f in ("n_steps", "sbt", "K", "Q", "in_rows", "out_rows"):
@@ -126,11 +128,15 @@ def load_plan(path: str):
               if k.startswith("gather.")}
     scan = {k[len("scan."):]: dput(z[k]) for k in z.files
             if k.startswith("scan.")}
+    reduce = {k[len("reduce."):]: dput(z[k]) for k in z.files
+              if k.startswith("reduce.")}
     for k, v in scalars.items():
         if k.startswith("scan."):
             scan[k[len("scan."):]] = v
         elif k.startswith("gather."):
             gather[k[len("gather."):]] = v
+        elif k.startswith("reduce."):
+            reduce[k[len("reduce."):]] = v
 
     return StreamPlan(
         n_gather_tiles=scalars["n_gather_tiles"],
@@ -143,6 +149,7 @@ def load_plan(path: str):
         shuffle_dev=shuffle_device_arrays(plan_sh),
         scan=scan,
         n_y_blocks=scalars["n_y_blocks"],
+        reduce=reduce or None,
     )
 
 

@@ -63,3 +63,69 @@ def test_stream_empty_rows_and_tail():
     A = coo_to_csr(COO(n, n, rows.astype(np.int32), cols.astype(np.int32),
                        rng.standard_normal(80000).astype(np.float32)))
     _check(A)
+
+
+def test_stream_reduce_forced_on():
+    # early reduction (pass 0): row-skewed matrix, reduce='on'
+    from spmv_tpu.kernels.stream import StreamPolicy, _stream_spmv
+    from spmv_tpu.ops.semiring import PLUS_TIMES
+
+    A = power_law_csr(16384, 16384, 90000, alpha=1.5, seed=11)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(A.n_cols).astype(np.float32)
+    pol = StreamPolicy(kappa=4096, reduce="on")
+    y = np.asarray(_stream_spmv(A, x, PLUS_TIMES, pol))
+    y_ref = spmv_ref(A, x, y_dtype=np.float64)
+    np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=1e-5)
+
+
+def test_stream_reduce_matches_no_reduce():
+    from spmv_tpu.kernels.stream import StreamPolicy, _stream_spmv
+    from spmv_tpu.ops.semiring import PLUS_TIMES
+
+    A = power_law_csr(16384, 16384, 60000, alpha=1.5, seed=12)
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(A.n_cols).astype(np.float32)
+    y_on = np.asarray(_stream_spmv(
+        A, x, PLUS_TIMES, StreamPolicy(kappa=4096, reduce="on")))
+    y_off = np.asarray(_stream_spmv(
+        A, x, PLUS_TIMES, StreamPolicy(kappa=4096, reduce="off")))
+    np.testing.assert_allclose(y_on, y_off, rtol=2e-4, atol=1e-5)
+
+
+def test_stream_reduce_plan_gates():
+    # auto reduction declines when there is no row duplication to win
+    from spmv_tpu.kernels.stream import (
+        StreamPolicy, _plan_gather_reduce, REDUCE_MIN_FACTOR)
+
+    # wide uniform-random matrix: ~1 nnz per (tile, sublane, row) run
+    A = random_csr(300000, 300000, 120000, seed=13)
+    Ap = np.asarray(A.Ap, np.int64)
+    Aj = np.asarray(A.Aj, np.int64)
+    row_ids = np.repeat(np.arange(A.n_rows, dtype=np.int64),
+                        np.diff(Ap))
+    res = _plan_gather_reduce(
+        Aj, row_ids, StreamPolicy(), -(-A.n_cols // (128 * 128)))
+    assert res is None  # duplication below REDUCE_MIN_FACTOR
+
+    # skewed rows: accepted, and the run count shows real reduction
+    B = power_law_csr(16384, 16384, 90000, alpha=1.5, seed=14)
+    Bp = np.asarray(B.Ap, np.int64)
+    Bj = np.asarray(B.Aj, np.int64)
+    brows = np.repeat(np.arange(B.n_rows, dtype=np.int64), np.diff(Bp))
+    res = _plan_gather_reduce(
+        Bj, brows, StreamPolicy(), -(-B.n_cols // (128 * 128)))
+    assert res is not None
+    assert B.nnz / res[4]["n_runs"] >= REDUCE_MIN_FACTOR
+
+
+def test_stream_reduce_semiring_falls_back():
+    # non-invertible rings must not take the prefix-difference pass
+    from spmv_tpu.ops.registry import plan_cached
+
+    A = power_law_csr(8192, 8192, 50000, alpha=1.5, seed=15)
+    rng = np.random.default_rng(15)
+    x = rng.standard_normal(A.n_cols).astype(np.float32)
+    y = np.asarray(spmv("stream", A, x, semiring=MIN_PLUS))
+    y_ref = spmv_ref_semiring(A, x, MIN_PLUS)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
