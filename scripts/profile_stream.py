@@ -77,13 +77,29 @@ def main(nnz=3_300_000, iters=80):
     # gather pass
     gb_gather = (nbytes(ax) + nbytes(q) + nbytes(ax)  # out same as ax
                  + plan.n_gather_tiles * LANES * LANES * 4) / 1e9
-    t_g = t("gather", lambda v: _gather_pass(
-        v, ax, q, xb, sr=sr, sbt=8, n_tiles=plan.n_gather_tiles,
-        interpret=interp), x2d, gb_gather)
+    if plan.reduce is not None:
+        from spmv_tpu.kernels.stream import _reduce_pass
 
-    # split passes (input = simulated stage data of right shape)
-    prod = _gather_pass(x2d, ax, q, xb, sr=sr, sbt=8,
-                        n_tiles=plan.n_gather_tiles, interpret=interp)
+        rd = plan.reduce
+        gb_red = (plan.n_gather_tiles * 16384 * (4 + 1 + 4 + 3 + 0.5)
+                  + plan.n_gather_tiles * rd["Qp"] * 128 * 4) / 1e9
+
+        def run_reduce(v):
+            return _reduce_pass(
+                v, ax, q, xb, rd["c1"], rd["c2"], rd["c3"], rd["fm"],
+                sr=sr, sbt=8, n_tiles=plan.n_gather_tiles,
+                Qp=rd["Qp"], out_rows=rd["out_rows"], interpret=interp)
+
+        t_g = t(f"reduce (Qp={rd['Qp']})", run_reduce, x2d, gb_red)
+        prod = run_reduce(x2d)
+    else:
+        t_g = t("gather", lambda v: _gather_pass(
+            v, ax, q, xb, sr=sr, sbt=8, n_tiles=plan.n_gather_tiles,
+            interpret=interp), x2d, gb_gather)
+
+        # split passes (input = simulated stage data of right shape)
+        prod = _gather_pass(x2d, ax, q, xb, sr=sr, sbt=8,
+                            n_tiles=plan.n_gather_tiles, interpret=interp)
     cur = prod
     t_splits = []
     t_concats = []

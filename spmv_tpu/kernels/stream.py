@@ -700,13 +700,31 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         red["tile_of_part"] = inv[red["tile_of_part"]]
 
         # the shuffled stream is the PARTIAL stream: one value per
-        # (tile, sublane, row) run, at out slot tile*Qp*128 + p
+        # (tile, sublane, row) run, at out slot tile*Qp*128 + p.
+        # Qp grows past the needed quota so the stream FILLS its
+        # padded tile space uniformly — packed-low quota blocks would
+        # concentrate all live data in the first ~60% of the stream
+        # and overload the downstream regions' early content tiles by
+        # the same factor (measured: the per-flow quota cap then fails
+        # at any kappa above ~6144).
         n_runs = red["n_runs"]
-        Qp = max(8, -(-(int(red["p_of_part"].max()) + 1) // LANES
-                      // 8) * 8)
+        Qp_need = max(8, -(-(int(red["p_of_part"].max()) + 1) // LANES
+                           // 8) * 8)
+        Qp = min(REDUCE_MAX_RUNS // LANES,
+                 max(Qp_need, (128 * LANES // pad_tiles // 8) * 8))
         stream_tiles = pad_tiles * Qp // LANES
         s_pad = max(128, -(-stream_tiles // 128) * 128)
-        order = np.argsort(red["part_rows"], kind="stable")
+        # Rank ties within a row are PSEUDO-RANDOM over (tile, p):
+        # tile-order ties would hand each final tile a few consecutive
+        # source tiles' chunks (a heavy row's ~70-128 partials per
+        # tile stay rank-consecutive), skewing the per-flow quota
+        # counts ~1.9x over the mean. Hashed ties make every rank
+        # range draw Poisson-uniformly from the whole stream.
+        t_of = red["tile_of_part"]
+        tie = ((t_of.astype(np.uint64) * np.uint64(2654435761)
+                + red["p_of_part"].astype(np.uint64) * np.uint64(40503))
+               & np.uint64(0xFFFFFFFF))
+        order = np.lexsort((tie, red["part_rows"]))
         rows_ranked = red["part_rows"][order]
         rank_of_part = np.empty(n_runs, np.int64)
         rank_of_part[order] = np.arange(n_runs)
@@ -738,11 +756,11 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     walk = None
     # With early reduction the final tiles fill from a 5-20x smaller
     # partial stream packed into FEW source tiles; the final split
-    # pass's per-flow quota cap (~(q_last-1)*128 through 8-16 region
-    # content tiles) cannot feed 14336-deep tiles from so few sources,
-    # so cap kappa at 8192 (53% of the 8-flow cap) — the scan is tiny
-    # after reduction, fuller tiles buy nothing.
-    kap0 = policy.kappa if red is None else min(policy.kappa, 8192)
+    # pass's per-flow quota cap (~(q_last-1)*128 through 8 region
+    # content tiles, 15368/tile total) cannot feed 14336-deep tiles,
+    # so cap kappa at 12288 (80% of the 8-flow cap; the step-
+    # interleaved rank ties above keep flows near the mean).
+    kap0 = policy.kappa if red is None else min(policy.kappa, 12288)
     kappas = [k for k in (kap0, 12288, 10240, 8192, 6144, 4096,
                           3072, 2048, 1024, 512, 256)
               if k <= kap0]
