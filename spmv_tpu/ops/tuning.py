@@ -24,9 +24,13 @@ from typing import Optional
 
 # chip -> value-byte-width -> policy fields
 CHIP_TABLES = {
-    # measured on the attached v5e (scripts/profile_stream.py)
-    "v5e": {4: {"kappa": 14336}, 8: {"kappa": 12288},
-            2: {"kappa": 14336}},
+    # measured on the attached v5e (autotune sweep, round 3:
+    # kappa 12288 0.378 ms vs 14336 0.441 ms; +scan_sbt 16 -> 0.351 ms
+    # on the 3.3M-nnz power-law bench matrix; scan_sbt 32 exceeds the
+    # 16 MB scoped-VMEM stack)
+    "v5e": {4: {"kappa": 12288, "scan_sbt": 16},
+            8: {"kappa": 12288},
+            2: {"kappa": 12288, "scan_sbt": 16}},
     "v4": {4: {"kappa": 12288}, 8: {"kappa": 10240}, 2: {"kappa": 12288}},
     "v5p": {4: {"kappa": 14336}, 8: {"kappa": 12288}, 2: {"kappa": 14336}},
     "v6e": {4: {"kappa": 14336}, 8: {"kappa": 12288}, 2: {"kappa": 14336}},
