@@ -15,24 +15,46 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def prebuild(nnz: int, rows: int, seed: int, alpha: float = 1.5):
+def prebuild(nnz: int, rows: int, seed: int, alpha: float = 1.5,
+             kappas=None):
+    """Build the stream plan(s) for one synthetic matrix.
+
+    The bench (bench.py) times every registered kind; the stream-
+    pipeline kinds resolve to distinct structural kappas (stream /
+    csr_vector* -> the chip table, merge/merge_genl 14336,
+    merge_stock 8192, light_* -> skew tables light.py:46-48), so warm
+    the cache for each of them — one cold plan build per kappa
+    otherwise lands inside the driver's bench window.
+    """
+    import dataclasses
+
     import numpy as np
 
     from spmv_tpu.io.generate import power_law_csr
     from spmv_tpu.kernels import stream as st
+    from spmv_tpu.kernels import light
+    from spmv_tpu.ops.tuning import policy_for
     from spmv_tpu.utils.plancache import plan_key, save_plan
 
-    t0 = time.perf_counter()
     A = power_law_csr(rows, rows, nnz, alpha=alpha, seed=seed)
-    key = plan_key(A, st.DEFAULT_POLICY)
-    path = os.path.join("scratch/plans", f"stream-{key}.npz")
-    if os.path.exists(path):
-        print(f"nnz={nnz}: cached ({path})", flush=True)
-        return
-    plan = st.build_stream_plan(A, st.DEFAULT_POLICY)
-    save_plan(plan, path)
-    print(f"nnz={nnz}: built+saved in {time.perf_counter()-t0:.0f}s "
-          f"-> {path} ({os.path.getsize(path)/1e6:.0f} MB)", flush=True)
+    if kappas is None:
+        kappas = {policy_for(4, chip="v5e").kappa, 14336, 8192,
+                  light._kappa_for(A, light.FINE_KAPPA),
+                  light._kappa_for(A, light.COARSE_KAPPA),
+                  12288}  # csr_vector family (csr_vector.py:72)
+    for kappa in sorted(kappas):
+        t0 = time.perf_counter()
+        pol = dataclasses.replace(st.DEFAULT_POLICY, kappa=kappa)
+        key = plan_key(A, pol)
+        path = os.path.join("scratch/plans", f"stream-{key}.npz")
+        if os.path.exists(path):
+            print(f"nnz={nnz} kappa={kappa}: cached ({path})", flush=True)
+            continue
+        plan = st.build_stream_plan(A, pol)
+        save_plan(plan, path)
+        print(f"nnz={nnz} kappa={kappa}: built+saved in "
+              f"{time.perf_counter()-t0:.0f}s -> {path} "
+              f"({os.path.getsize(path)/1e6:.0f} MB)", flush=True)
 
 
 def main(argv):

@@ -63,13 +63,15 @@ def _csr_vector_ell_impl(A: CSR, x, semiring: Semiring, strategy: str,
 def _csr_vector_fast(A: CSR, x, semiring: Semiring, scan_strategy: str,
                      ell_strategy: str, min_shfl_width: int = 0):
     from spmv_tpu.kernels.stream import StreamPolicy, _stream_spmv
+    from spmv_tpu.ops.tuning import dispatch_fields
 
     if scan_strategy == "auto" and A.mean_nnz_per_row <= min_shfl_width:
         scan_strategy = "roll"  # narrow-row fallback, as the ref dispatcher
     try:
         return _stream_spmv(
             A, x, semiring,
-            StreamPolicy(kappa=12288, scan_strategy=scan_strategy))
+            StreamPolicy(kappa=12288, scan_strategy=scan_strategy,
+                         **dispatch_fields()))
     except PlanCapacityError:
         return _csr_vector_ell_impl(A, x, semiring, ell_strategy,
                                     min_shfl_width)

@@ -105,10 +105,12 @@ def _light_ell_impl(A: CSR, x, semiring: Semiring, widths, key: str):
 
 def _light_fast(A: CSR, x, semiring: Semiring, table, widths, key: str):
     from spmv_tpu.kernels.stream import StreamPolicy, _stream_spmv
+    from spmv_tpu.ops.tuning import dispatch_fields
 
     kappa = plan_cache(A, (key, "kappa"), lambda: _kappa_for(A, table))
     try:
-        return _stream_spmv(A, x, semiring, StreamPolicy(kappa=kappa))
+        return _stream_spmv(A, x, semiring,
+                            StreamPolicy(kappa=kappa, **dispatch_fields()))
     except PlanCapacityError:
         return _light_ell_impl(A, x, semiring, widths, key)
 

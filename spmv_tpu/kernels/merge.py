@@ -382,8 +382,9 @@ def _merge_impl(A: CSR, x, semiring: Semiring, policy: MergePolicy):
 
 def _stream_policy_for(nnz_per_tile: int):
     from spmv_tpu.kernels.stream import StreamPolicy
+    from spmv_tpu.ops.tuning import dispatch_fields
 
-    return StreamPolicy(kappa=nnz_per_tile)
+    return StreamPolicy(kappa=nnz_per_tile, **dispatch_fields())
 
 
 def _merge_fast(A: CSR, x, semiring: Semiring, kappa: int,

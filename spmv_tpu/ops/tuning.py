@@ -66,6 +66,25 @@ def policy_for(value_bytes: int = 4, chip: Optional[str] = None):
     return StreamPolicy(**fields)
 
 
+# Dispatch-time knobs (do not shape the plan; see
+# StreamPolicy.structural_fields). Kinds that own their structural
+# kappa (merge/light/csr_vector families) still take these from the
+# chip table so one measured scan batching serves the whole zoo.
+_DISPATCH_FIELDS = ("scan_sbt",)
+
+
+def dispatch_fields(value_bytes: int = 4, chip: Optional[str] = None) -> dict:
+    """Chip-tuned dispatch-only policy fields (currently scan_sbt),
+    for kinds that construct their own StreamPolicy around a
+    kind-specific kappa."""
+    if _ACTIVE is not None:
+        src = _ACTIVE
+    else:
+        chip = chip or detect_chip()
+        src = CHIP_TABLES.get(chip, {}).get(value_bytes, _DEFAULT)
+    return {k: v for k, v in src.items() if k in _DISPATCH_FIELDS}
+
+
 def set_active(fields: Optional[dict]):
     """Install (or clear, with None) an autotuned policy override."""
     global _ACTIVE
