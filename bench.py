@@ -56,6 +56,9 @@ def main():
     # stream plans for the bench matrix are pre-built into the disk
     # cache (scripts/prebuild_plans.py); a cold cache just rebuilds
     config.set_plan_dir("scratch/plans")
+    # persistent XLA compile cache: repeat runs skip the minutes of
+    # per-kind tunnel compiles (the first kind cost ~550 s cold)
+    config.enable_compile_cache()
 
     n_rows = 1 << 20
     nnz = 3_300_000  # mean ~3.1/row, power-law row skew (the stream
