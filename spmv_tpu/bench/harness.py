@@ -89,6 +89,13 @@ def main(argv=None):
                    help="on-disk plan cache: build each matrix's "
                         "stream plan once, reload on later runs "
                         "(utils/plancache)")
+    p.add_argument("--trace", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of each kind's "
+                        "timing loop into DIR (one subdir per kind; "
+                        "view with tensorboard/xprof) — the proper "
+                        "replacement for the reference Timer's "
+                        "unsynced kernel windows (ref: timer.hpp:27-39, "
+                        "BASELINE.md caveats)")
     p.add_argument("--x", choices=["ones", "random"], default="random",
                    help="x vector (reference uses all-ones, main.cu:41; "
                         "random is value-sensitive and the default here)")
@@ -120,20 +127,35 @@ def main(argv=None):
     x = (np.ones(A.n_cols, np.float32) if args.x == "ones"
          else rng.standard_normal(A.n_cols).astype(np.float32))
 
-    if args.autotune is not None:
-        from spmv_tpu.ops import tuning
+    from spmv_tpu.ops import tuning
 
+    if args.autotune is not None:
         fields, sweep = tuning.autotune_stream(A, x, iters=args.iters)
         tuning.set_active(fields)
         print(f"autotuned stream policy: {fields}", file=sys.stderr)
-        if args.autotune:
-            tuning.save_table(fields, args.autotune)
+        tuning.save_table(fields,
+                          args.autotune or tuning.default_table_path())
+    else:
+        # pick up a previously persisted autotune result for this chip
+        loaded = tuning.load_table(tuning.default_table_path())
+        if loaded:
+            print(f"loaded persisted tuning table: {loaded}",
+                  file=sys.stderr)
 
     results = []
     for kind in kinds:
         try:
-            r = benchmark_spmv(kind, A, x, iters=args.iters,
-                               check=not args.no_check)
+            if args.trace:
+                import os
+
+                import jax
+
+                with jax.profiler.trace(os.path.join(args.trace, kind)):
+                    r = benchmark_spmv(kind, A, x, iters=args.iters,
+                                       check=not args.no_check)
+            else:
+                r = benchmark_spmv(kind, A, x, iters=args.iters,
+                                   check=not args.no_check)
         except Exception as e:  # keep the report going, like the ref CLI
             print(f"{kind:18s} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
             continue

@@ -55,6 +55,14 @@ def plan_dir() -> Optional[str]:
     return os.environ.get("SPMV_TPU_PLAN_DIR") or None
 
 
+def _default_cache_dir() -> str:
+    """Default compile-cache path, anchored to the package's parent
+    (the repo checkout) rather than the cwd, so callers invoked from
+    other directories share one cache instead of scattering them."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(root, "scratch", "xla_cache")
+
+
 def enable_compile_cache(path: Optional[str] = None) -> Optional[str]:
     """Enable JAX's persistent compilation cache (idempotent).
 
@@ -62,20 +70,28 @@ def enable_compile_cache(path: Optional[str] = None) -> Optional[str]:
     backend a cold zoo costs minutes of XLA compiles before the first
     measurement. The persistent cache makes repeat benchmark runs
     (bench.py, the harness CLI) pay that once per machine. Disable
-    with SPMV_TPU_COMPILE_CACHE=0. Returns the cache dir in use, or
-    None when disabled/unsupported.
+    with SPMV_TPU_COMPILE_CACHE=0; set it to a path to relocate the
+    cache ('1'/'true' mean "enabled at the default path"). Returns the
+    cache dir in use, or None when disabled/unsupported.
     """
     env = os.environ.get("SPMV_TPU_COMPILE_CACHE")
     if env in ("0", "false", "False"):
         return None
-    path = path or env or "scratch/xla_cache"
+    if env in ("1", "true", "True"):
+        env = None  # truthy flag = enabled, not a directory name
+    path = path or env or _default_cache_dir()
+    os.makedirs(path, exist_ok=True)
     try:
-        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache every kernel, not just slow-to-compile ones: the win
         # here is skipping the tunnel round-trips, not host CPU time
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        return None  # older jax / unsupported backend: quietly skip
+    except AttributeError:
+        # older jax without these config keys: leave nothing half-set
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+        except AttributeError:
+            pass
+        return None
     return path

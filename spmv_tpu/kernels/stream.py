@@ -79,6 +79,15 @@ SBT_SCAN_MAX = 32  # plan-time scan-tile padding granule: any scan_sbt
 # dividing this runs on the same plan (the knob re-batches the grid,
 # it does not reshape the plan)
 
+# When the whole transposed x table fits under this budget it is passed
+# to the gather/reduce kernels as ONE resident VMEM block (constant
+# index map -> fetched from HBM once) and each tile slices its 128-row
+# window in-register, instead of DMA-ing a separate 65 KB window per
+# tile. On the 3.3M-nnz bench matrix that cuts x traffic from
+# n_tiles*65KB (~17 MB) to len(x2d) (~4 MB). Budget leaves room for the
+# double-buffered per-step streams (~2.5 MB) inside the ~16 MB VMEM.
+X_VMEM_MAX_BYTES = 6 << 20
+
 
 @dataclasses.dataclass(frozen=True)
 class StreamPolicy:
@@ -941,15 +950,28 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _gather_kernel(sbt: int, sr: Semiring, identity: float):
+def _xwin(xb_ref, xwins, x_vmem: bool, t, j: int, sbt: int):
+    """The j-th tile's (128,128) transposed x window for this grid
+    step: either the j-th per-tile DMA'd block, or an in-register slice
+    of the VMEM-resident full table (x_vmem mode)."""
+    if not x_vmem:
+        return xwins[j][...]
+    start = pl.multiple_of(xb_ref[t * sbt + j] * LANES, LANES)
+    return xwins[0][pl.ds(start, LANES), :]
+
+
+def _gather_kernel(sbt: int, sr: Semiring, identity: float,
+                   x_vmem: bool):
     def kernel(xb_ref, ax_ref, q_ref, *rest):
         xwins, out_ref = rest[:-1], rest[-1]
+        t = pl.program_id(0)
         for j in range(sbt):
             q = q_ref[j * LANES:(j + 1) * LANES, :].astype(jnp.int32)
             ax = ax_ref[j * LANES:(j + 1) * LANES, :]
             qc = jnp.where(q >= 0, q, 0)
             # xg[s,l] = xt[s, q[s,l]]: native lane gather, no transposes
-            xg = jnp.take_along_axis(xwins[j][...], qc, axis=1)
+            xg = jnp.take_along_axis(
+                _xwin(xb_ref, xwins, x_vmem, t, j, sbt), qc, axis=1)
             prod = sr.combine(ax, xg)
             out_ref[j * LANES:(j + 1) * LANES, :] = jnp.where(
                 q >= 0, prod, identity)
@@ -958,7 +980,7 @@ def _gather_kernel(sbt: int, sr: Semiring, identity: float):
 
 
 def _gather_split_kernel(sbt: int, sr: Semiring, identity: float,
-                         K: int, Q: int):
+                         K: int, Q: int, x_vmem: bool):
     """Fused gather + shuffle-pass-1: products are computed in
     registers, routed, and DMA'd straight into the pass-1 quota
     windows — the product array never round-trips HBM between the
@@ -967,15 +989,18 @@ def _gather_split_kernel(sbt: int, sr: Semiring, identity: float,
 
     def kernel(xb_ref, pos_ref, starts_ref, ax_ref, q_ref,
                s1_ref, s2_ref, s3_ref, *refs):
-        del xb_ref, pos_ref  # consumed by the index maps
-        xwins = refs[:sbt]
-        out_ref, scratch = refs[sbt], refs[-1]
+        del pos_ref  # consumed by the index maps
+        t = pl.program_id(0)
+        n_x = 1 if x_vmem else sbt
+        xwins = refs[:n_x]
+        out_ref, scratch = refs[n_x], refs[-1]
         prods = []
         for j in range(sbt):
             q = q_ref[j * LANES:(j + 1) * LANES, :].astype(jnp.int32)
             ax = ax_ref[j * LANES:(j + 1) * LANES, :]
             qc = jnp.where(q >= 0, q, 0)
-            xg = jnp.take_along_axis(xwins[j][...], qc, axis=1)
+            xg = jnp.take_along_axis(
+                _xwin(xb_ref, xwins, x_vmem, t, j, sbt), qc, axis=1)
             prods.append(jnp.where(q >= 0, sr.combine(ax, xg), identity))
         scratch[...] = route3_batched(
             jnp.concatenate(prods, axis=0), s1_ref[...], s2_ref[...],
@@ -999,9 +1024,7 @@ def _gather_split_pass(x2d, ax, q, xb, s1, s2, s3, starts, pos, *,
     identity = float(sr.identity_for(ax.dtype))
     n_steps = n_tiles // sbt
     sw = starts.shape[1]
-
-    def xwin_map(j):
-        return lambda t, xb, pos: (xb[t * sbt + j], 0)
+    x_vmem, x_specs, x_args = _x_specs(x2d, sbt)
 
     def blk(rows):
         return pl.BlockSpec((rows, LANES), lambda t, xb, pos: (t, 0))
@@ -1012,24 +1035,24 @@ def _gather_split_pass(x2d, ax, q, xb, s1, s2, s3, starts, pos, *,
         in_specs=(
             [pl.BlockSpec((8, sw), lambda t, xb, pos: (t // 8, 0))]
             + [blk(sbt * LANES)] * 5
-            + [pl.BlockSpec((LANES, LANES), xwin_map(j))
-               for j in range(sbt)]
+            + x_specs
         ),
         out_specs=pl.BlockSpec((K, sbt * Q, LANES),
                                lambda t, xb, pos: (0, pos[t], 0)),
         scratch_shapes=[pltpu.VMEM((sbt * LANES, LANES), ax.dtype)],
     )
     return pl.pallas_call(
-        _gather_split_kernel(sbt, sr, identity, K, Q),
+        _gather_split_kernel(sbt, sr, identity, K, Q, x_vmem),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, rows_per_g, LANES), ax.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(xb, pos, starts, ax, q, s1, s2, s3, *([x2d] * sbt))
+    )(xb, pos, starts, ax, q, s1, s2, s3, *x_args)
 
 
-def _reduce_kernel(sbt: int, sr: Semiring, identity: float, Qp: int):
+def _reduce_kernel(sbt: int, sr: Semiring, identity: float, Qp: int,
+                   x_vmem: bool):
     """Fused gather + early row-reduction (pass 0 of the reduced
     pipeline). Products are formed in registers; one MXU lane-prefix
     matmul gives per-sublane running sums; the planned C route drops
@@ -1044,15 +1067,17 @@ def _reduce_kernel(sbt: int, sr: Semiring, identity: float, Qp: int):
 
     def kernel(xb_ref, ax_ref, q_ref, c1_ref, c2_ref, c3_ref, fm_ref,
                *rest):
-        del xb_ref  # consumed by the x-window index maps
-        xwins = rest[:sbt]
-        out_ref = rest[sbt]
+        t = pl.program_id(0)
+        n_x = 1 if x_vmem else sbt
+        xwins = rest[:n_x]
+        out_ref = rest[n_x]
         prods = []
         for j in range(sbt):
             q = q_ref[j * LANES:(j + 1) * LANES, :].astype(jnp.int32)
             ax = ax_ref[j * LANES:(j + 1) * LANES, :]
             qc = jnp.where(q >= 0, q, 0)
-            xg = jnp.take_along_axis(xwins[j][...], qc, axis=1)
+            xg = jnp.take_along_axis(
+                _xwin(xb_ref, xwins, x_vmem, t, j, sbt), qc, axis=1)
             prods.append(jnp.where(q >= 0, sr.combine(ax, xg), identity))
         v = jnp.concatenate(prods, axis=0)
         li = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
@@ -1091,9 +1116,7 @@ def _reduce_pass(x2d, ax, q, xb, c1, c2, c3, fm, *, sr: Semiring, sbt,
     identity = float(sr.identity_for(ax.dtype))
     n_steps = n_tiles // sbt
     HROWS = REDUCE_MAX_RUNS // LANES
-
-    def xwin_map(j):
-        return lambda t, xb: (xb[t * sbt + j], 0)
+    x_vmem, x_specs, x_args = _x_specs(x2d, sbt)
 
     def blk(rows):
         return pl.BlockSpec((rows, LANES), lambda t, xb: (t, 0))
@@ -1104,19 +1127,18 @@ def _reduce_pass(x2d, ax, q, xb, c1, c2, c3, fm, *, sr: Semiring, sbt,
         in_specs=(
             [blk(sbt * LANES)] * 5
             + [blk(sbt * HROWS)]
-            + [pl.BlockSpec((LANES, LANES), xwin_map(j))
-               for j in range(sbt)]
+            + x_specs
         ),
         out_specs=pl.BlockSpec((sbt * Qp, LANES), lambda t, xb: (t, 0)),
     )
     return pl.pallas_call(
-        _reduce_kernel(sbt, sr, identity, Qp),
+        _reduce_kernel(sbt, sr, identity, Qp, x_vmem),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, LANES), ax.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(xb, ax, q, c1, c2, c3, fm, *([x2d] * sbt))
+    )(xb, ax, q, c1, c2, c3, fm, *x_args)
 
 
 def _route3(v, s1_ref, s2_ref, s3_ref):
@@ -1334,32 +1356,48 @@ def _scan_kernel_roll(sr: Semiring, identity: float, sbt: int):
 # and its callables are traced straight into the kernel — the TPU
 # analog of the reference's functor_t template parameter
 # (ref: merge_genl/agent_spmv_orig.cuh:98-124).
+def _x_specs(x2d, sbt: int):
+    """(x_vmem, in_specs, args) for the x table: one resident
+    full-table block when it fits the VMEM budget, else sbt per-tile
+    window blocks indexed by the prefetched xb."""
+    x_vmem = x2d.shape[0] * LANES * x2d.dtype.itemsize <= X_VMEM_MAX_BYTES
+
+    def xwin_map(j):
+        return lambda t, xb, *_: (xb[t * sbt + j], 0)
+
+    if x_vmem:
+        specs = [pl.BlockSpec((x2d.shape[0], LANES),
+                              lambda t, *_: (0, 0))]
+        return True, specs, (x2d,)
+    specs = [pl.BlockSpec((LANES, LANES), xwin_map(j))
+             for j in range(sbt)]
+    return False, specs, (x2d,) * sbt
+
+
 @functools.partial(jax.jit, static_argnames=(
     "sr", "sbt", "n_tiles", "interpret"))
 def _gather_pass(x2d, ax, q, xb, *, sr: Semiring, sbt, n_tiles, interpret):
     identity = float(sr.identity_for(ax.dtype))
     n_steps = n_tiles // sbt
-
-    def xwin_map(j):
-        return lambda t, xb: (xb[t * sbt + j], 0)
+    x_vmem, x_specs, x_args = _x_specs(x2d, sbt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
         in_specs=(
             [pl.BlockSpec((sbt * LANES, LANES), lambda t, xb: (t, 0))] * 2
-            + [pl.BlockSpec((LANES, LANES), xwin_map(j)) for j in range(sbt)]
+            + x_specs
         ),
         out_specs=pl.BlockSpec((sbt * LANES, LANES), lambda t, xb: (t, 0)),
     )
     return pl.pallas_call(
-        _gather_kernel(sbt, sr, identity),
+        _gather_kernel(sbt, sr, identity, x_vmem),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * LANES, LANES), ax.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(xb, ax, q, *([x2d] * sbt))
+    )(xb, ax, q, *x_args)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1565,17 +1603,23 @@ def audit_plan(plan: StreamPlan, nnz: int, val_bytes: int = 4) -> dict:
     F_pad = plan.scan["cid"].shape[0] // LB
     p0 = plan.shuffle.passes[0]
     fused01 = p0.sbt == 8 and p0.n_steps * 8 == gt
+    # x traffic: one 65 KB window per tile, or — when the whole table
+    # fits the VMEM budget — the table itself, fetched once
+    x_rows = plan.x_rows_pad + int(np.asarray(plan.hot_cols).shape[0])
+    x_bytes = x_rows * LB * val_bytes
+    if x_bytes > X_VMEM_MAX_BYTES:
+        x_bytes = gt * TILE * val_bytes
     passes = {}
     if plan.reduce is not None:
-        # reduce pass: Ax + q + x window + 3 route stages + firstmask,
+        # reduce pass: Ax + q + x + 3 route stages + firstmask,
         # writing only Qp partial rows per tile
         passes["reduce"] = int(
-            gt * TILE * (2 * val_bytes + 1 + 3 + 0.5)
+            gt * TILE * (val_bytes + 1 + 3 + 0.5) + x_bytes
             + gt * plan.reduce["Qp"] * LANES * val_bytes)
     else:
-        # gather: Ax (val) + q (1B) + one (128,128) x window per tile
+        # gather: Ax (val) + q (1B) + x
         # (+ the product write only when NOT fused into split-1)
-        passes["gather"] = gt * TILE * (val_bytes + 1 + val_bytes) \
+        passes["gather"] = gt * TILE * (val_bytes + 1) + x_bytes \
             + (0 if fused01 else gt * TILE * val_bytes)
     for i, p in enumerate(plan.shuffle.passes):
         rows = p.n_steps * p.sbt * LB

@@ -22,7 +22,10 @@ import json
 import os
 from typing import Optional
 
-# chip -> value-byte-width -> policy fields
+# chip -> value-byte-width -> policy fields. ONLY chips listed here
+# carry measured numbers; anything else falls back to the v5e row plus
+# a one-time autotune recommendation (see policy_for) — no invented
+# per-generation entries presented as data.
 CHIP_TABLES = {
     # measured on the attached v5e (autotune sweep, round 3:
     # kappa 12288 0.378 ms vs 14336 0.441 ms; +scan_sbt 16 -> 0.351 ms
@@ -31,12 +34,13 @@ CHIP_TABLES = {
     "v5e": {4: {"kappa": 12288, "scan_sbt": 16},
             8: {"kappa": 12288},
             2: {"kappa": 12288, "scan_sbt": 16}},
-    "v4": {4: {"kappa": 12288}, 8: {"kappa": 10240}, 2: {"kappa": 12288}},
-    "v5p": {4: {"kappa": 14336}, 8: {"kappa": 12288}, 2: {"kappa": 14336}},
-    "v6e": {4: {"kappa": 14336}, 8: {"kappa": 12288}, 2: {"kappa": 14336}},
+    # cpu = interpret-mode tests; throughput is not meaningful there,
+    # the row only pins plan geometry for reproducibility
     "cpu": {4: {"kappa": 12288}, 8: {"kappa": 12288}, 2: {"kappa": 12288}},
 }
+_FALLBACK_CHIP = "v5e"  # closest measured generation for v4/v5p/v6e
 _DEFAULT = {"kappa": 14336}
+_warned_unmeasured = set()
 
 _ACTIVE: Optional[dict] = None  # autotuned override, if any
 
@@ -56,12 +60,26 @@ def detect_chip() -> str:
 
 def policy_for(value_bytes: int = 4, chip: Optional[str] = None):
     """The active stream policy: autotuned override if set, else the
-    chip-generation table (the per-arch policy selection analog)."""
+    chip-generation table (the per-arch policy selection analog).
+
+    Chips without a measured row (v4/v5p/v6e in this repo) use the
+    closest measured generation's row and emit a one-time hint to run
+    `autotune_stream` / `--autotune` — honest fallback, not a guess
+    dressed as a measurement."""
     from spmv_tpu.kernels.stream import StreamPolicy
 
     if _ACTIVE is not None:
         return StreamPolicy(**_ACTIVE)
     chip = chip or detect_chip()
+    if chip not in CHIP_TABLES:
+        if chip not in _warned_unmeasured:
+            _warned_unmeasured.add(chip)
+            import sys
+
+            print(f"spmv_tpu: no measured tuning row for chip {chip!r}; "
+                  f"using the {_FALLBACK_CHIP} row — run autotune "
+                  f"(harness --autotune) to refit", file=sys.stderr)
+        chip = _FALLBACK_CHIP
     fields = CHIP_TABLES.get(chip, {}).get(value_bytes, _DEFAULT)
     return StreamPolicy(**fields)
 
@@ -81,6 +99,8 @@ def dispatch_fields(value_bytes: int = 4, chip: Optional[str] = None) -> dict:
         src = _ACTIVE
     else:
         chip = chip or detect_chip()
+        if chip not in CHIP_TABLES:
+            chip = _FALLBACK_CHIP
         src = CHIP_TABLES.get(chip, {}).get(value_bytes, _DEFAULT)
     return {k: v for k, v in src.items() if k in _DISPATCH_FIELDS}
 
@@ -167,3 +187,11 @@ def load_table(path: str) -> Optional[dict]:
     if fields:
         set_active(fields)
     return fields
+
+
+def default_table_path() -> str:
+    """Repo-anchored path where harness --autotune persists its result
+    and where harness/bench startup reloads it (VERDICT r3 item 8)."""
+    root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(root, "scratch", "tuned_tables.json")
