@@ -1,0 +1,139 @@
+"""Measure the two BASELINE.md rows unmeasured through round 3
+(VERDICT r3 item 5) and record them as a committed artifact:
+
+  config 2: csr-vector analog on mid-size REGULAR matrices (banded +
+            uniform-random, mean ~10 nnz/row), target >= 50% of SoL.
+  config 4: semiring SpMV (min-plus, or-and) within +-10% of the
+            plus-times kernel time on the bench (power-law) matrix.
+
+Run ON TPU:  python scripts/baseline_rows.py
+Writes docs/BASELINE_ROWS.json and prints a markdown table to stdout
+(paste/commit into docs/BASELINE_ROWS.md via --md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+from spmv_tpu import config
+
+config.set_plan_dir(os.path.join(ROOT, "scratch", "plans"))
+config.enable_compile_cache()
+
+import jax
+import numpy as np
+
+from spmv_tpu.io.generate import banded_csr, power_law_csr, random_csr
+from spmv_tpu.ops import tuning
+from spmv_tpu.ops.semiring import MIN_PLUS, OR_AND
+from spmv_tpu.utils.timing import benchmark_spmv
+from spmv_tpu.utils.roofline import chip_specs
+
+
+def time_kind(kind, A, x, iters=25, semiring=None):
+    r = benchmark_spmv(kind, A, x, iters=iters, semiring=semiring,
+                       check=semiring is None)
+    print(r.row(), file=sys.stderr, flush=True)
+    return r
+
+
+def main(write_md=True):
+    tuning.load_table(tuning.default_table_path())
+    chip, bw = chip_specs()
+    rng = np.random.default_rng(0)
+    out = {"chip": chip, "hbm_gbps": bw,
+           "date": time.strftime("%Y-%m-%d"), "rows": []}
+
+    # --- config 2: regular matrices, csr_vector, target >= 50% SoL ---
+    n = 1 << 20
+    for name, A in (
+        ("banded mean10", banded_csr(n, bandwidth=5)),
+        ("uniform mean10", random_csr(n, n, 10 * n)),
+    ):
+        x = rng.standard_normal(A.n_cols).astype(np.float32)
+        best = None
+        for kind in ("csr_vector", "csr_vector_shfl"):
+            try:
+                r = time_kind(kind, A, x)
+            except Exception as e:
+                print(f"{kind} on {name}: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                continue
+            if r.delta and r.delta["max_rel"] > 1e-3:
+                continue
+            if best is None or r.gnnz_per_s > best[1].gnnz_per_s:
+                best = (kind, r)
+        if best:
+            kind, r = best
+            out["rows"].append({
+                "config": "2 (regular, csr-vector)", "matrix": name,
+                "nnz": A.nnz, "kind": kind,
+                "gnnz_per_s": round(r.gnnz_per_s, 3),
+                "sol_pct": round(100 * r.sol_fraction, 1),
+                "target": ">=50% SoL",
+                "met": bool(r.sol_fraction >= 0.5),
+            })
+
+    # --- config 4: semiring envelope on the bench matrix ---
+    A = power_law_csr(n, n, 3_300_000, alpha=1.5, seed=42)
+    x = rng.standard_normal(n).astype(np.float32)
+    xb = (np.abs(x) > 0.5).astype(np.float32)  # boolean-ish for or_and
+    base = time_kind("merge_genl", A, x)
+    for sem, xv, label in ((MIN_PLUS, x, "min_plus"),
+                           (OR_AND, xb, "or_and")):
+        r = time_kind("merge_genl", A, xv, semiring=sem)
+        ratio = r.kernel_s / base.kernel_s
+        out["rows"].append({
+            "config": "4 (semiring envelope)", "matrix": "powerlaw 3.3M",
+            "semiring": label,
+            "kernel_ms": round(r.kernel_s * 1e3, 4),
+            "plus_times_ms": round(base.kernel_s * 1e3, 4),
+            "ratio": round(ratio, 3),
+            "target": "within +-10% of plus_times",
+            "met": bool(0.9 <= ratio <= 1.1),
+        })
+
+    path = os.path.join(ROOT, "docs", "BASELINE_ROWS.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}", file=sys.stderr)
+
+    if write_md:
+        md = [
+            "# BASELINE rows measured on TPU (VERDICT r3 item 5)",
+            "",
+            f"Chip: {chip} ({bw:.0f} GB/s HBM); measured {out['date']};",
+            "method: utils/timing.py device-chained slope, 25 iters.",
+            "",
+            "| config | matrix | kind/semiring | result | target | met |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in out["rows"]:
+            if "gnnz_per_s" in r:
+                res = f"{r['gnnz_per_s']} Gnnz/s = {r['sol_pct']}% SoL"
+                who = r["kind"]
+            else:
+                res = (f"{r['kernel_ms']} ms vs {r['plus_times_ms']} ms "
+                       f"(x{r['ratio']})")
+                who = r["semiring"]
+            md.append(f"| {r['config']} | {r['matrix']} | {who} | {res} "
+                      f"| {r['target']} | {'yes' if r['met'] else 'NO'} |")
+        md.append("")
+        md.append("The generic-semiring path is the roll/segmented-scan "
+                  "kernel (no ring inverse assumed), a genuinely "
+                  "different code path from the plus-times MXU "
+                  "prefix-difference kernel; if a NO appears above, the "
+                  "gap is real and tracked, not hidden "
+                  "(docs/DESIGN_stream.md).")
+        with open(os.path.join(ROOT, "docs", "BASELINE_ROWS.md"), "w") as f:
+            f.write("\n".join(md) + "\n")
+        print("wrote docs/BASELINE_ROWS.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,10 +1,10 @@
-"""Lean per-pass profile of the stream-SpMV pipeline (round 4).
+"""Per-pass profile of the stream-SpMV pipeline (round 4).
 
-Times each stage with ASYNC PIPELINED dispatches (queue N calls,
-block once) instead of device-chained loops, so each stage compiles
-exactly one program — the device-loop variant costs minutes of tunnel
-compiles per stage. With the dispatch queue kept full, the slope
-between a short and a long run measures device time.
+Times each stage with the device-chained slope loop from
+utils/timing.py — the ONLY honest method on the tunneled runtime:
+async dispatch + block_until_ready does not reflect device completion
+there (identical dispatches dedupe and "waited" pipelines report
+>HBM-bandwidth throughputs; measured 2026-08-20).
 
 Run ON TPU:  python scripts/profile_stream2.py [nnz] [iters]
 """
@@ -34,24 +34,12 @@ from spmv_tpu.ops.tuning import policy_for, load_table, default_table_path
 LANES = 128
 
 
-def time_async(fn, x0, iters=40, lo_frac=4):
-    """Slope timing with async pipelined dispatches."""
-    lo = max(1, iters // lo_frac)
+def time_stage(fn, x0, iters=40):
+    """Device-chained slope timing (see utils/timing.benchmark_fn)."""
+    from spmv_tpu.utils.timing import benchmark_fn
 
-    def run(n):
-        ys = [fn(x0) for _ in range(2)]  # warm queue
-        jax.block_until_ready(ys[-1])
-        t0 = time.perf_counter()
-        y = None
-        for _ in range(n):
-            y = fn(x0)
-        jax.block_until_ready(y)
-        return time.perf_counter() - t0
-
-    run(2)  # compile + settle
-    t_lo = min(run(lo), run(lo))
-    t_hi = min(run(iters), run(iters))
-    return max((t_hi - t_lo) / (iters - lo), 1e-9)
+    _, kern = benchmark_fn(fn, x0, iters=iters)
+    return kern
 
 
 def main(nnz=3_300_000, iters=40):
@@ -86,7 +74,7 @@ def main(nnz=3_300_000, iters=40):
     ax, q, xb = plan.gather["Ax"], plan.gather["q"], plan.gather["xb"]
 
     def rep(label, fn, x0, gb=None):
-        k = time_async(fn, x0, iters=iters)
+        k = time_stage(fn, x0, iters=iters)
         bwtxt = f"  {gb/k:7.1f} GB/s" if gb else ""
         print(f"{label:28s} {k*1e3:8.4f} ms{bwtxt}", flush=True)
         return k
@@ -99,7 +87,7 @@ def main(nnz=3_300_000, iters=40):
 
         def run_reduce(v):
             return stream._reduce_pass(
-                v, ax, q, xb, rd["c1"], rd["c2"], rd["c3"], rd["fm"],
+                v, ax, q, xb, rd["c1"], rd["c2"], rd["c3"],
                 sr=sr, sbt=8, n_tiles=plan.n_gather_tiles,
                 Qp=rd["Qp"], out_rows=rd["out_rows"], interpret=interp)
 
@@ -137,15 +125,16 @@ def main(nnz=3_300_000, iters=40):
 
     def run_scan(v):
         return stream._scan_pass(
-            v, s["cid"], s["r1s1"], s["r1s2"], s["r1s3"],
+            v, s["cid"], s["live"], s["r1s1"], s["r1s2"], s["r1s3"],
             s["p1s1"], s["p1s2"], s["p1s3"], s["rel2"],
-            s["r2s1"], s["r2s2"], s["r2s3"], s["valid2"],
+            s["r2s1"], s["r2s2"], s["r2s3"],
+            s["q2s1"], s["q2s2"], s["q2s3"], s["valid2"],
             s["first_idx"], s["cmask"], s["climit"],
-            sr=sr, F_pad=F_pad, r1_fused=s["r1_fused"],
+            sr=sr, F_pad=F_pad,
             strategy=pol.scan_strategy, sbt=pol.scan_sbt,
             interpret=interp)
 
-    gb = (F_pad * 16384 * 12.5 + F_pad * 8192 * 4) / 1e9
+    gb = (F_pad * 16384 * 17.0 + F_pad * 16384 * 4) / 1e9
     stages += rep(f"scan (sbt={pol.scan_sbt})", run_scan, prod_fin, gb)
     ycand = run_scan(prod_fin)
 
@@ -168,7 +157,7 @@ def main(nnz=3_300_000, iters=40):
     def run_e2e(v):
         return stream._stream_spmv(A, v, sr, pol)
 
-    t = rep("END-TO-END (async)", run_e2e, xj)
+    t = rep("END-TO-END", run_e2e, xj)
     print(f"sum of stages: {stages_known*1e3:.4f} ms; "
           f"e2e {A.nnz/t/1e9:.2f} Gnnz/s", flush=True)
     aud = stream.audit_plan(plan, A.nnz)

@@ -74,10 +74,17 @@ from spmv_tpu.ops.registry import (
 from spmv_tpu.ops.routing import route_tiles
 from spmv_tpu.ops.semiring import Semiring, PLUS_TIMES
 
-BIN_ROWS = 8192  # y rows per output bin (one (64,128) block of y2d)
-SBT_SCAN_MAX = 32  # plan-time scan-tile padding granule: any scan_sbt
+BIN_ROWS = 16384  # max row span of one final tile = rel positions of
+# one full (128,128) route tile. Round 3 used 8192 (the two halves of
+# one fused C/P route tile); for short-row matrices the row-span cap —
+# not kappa — set the final tile count (1M rows / 8192 = 128+ tiles at
+# ~30% fill), so v4 widens the span to a full tile and always plans
+# separate C and P routes (VERDICT r3 items 1-2: O(nnz) scan).
+SBT_SCAN_MAX = 16  # plan-time scan-tile padding granule: any scan_sbt
 # dividing this runs on the same plan (the knob re-batches the grid,
-# it does not reshape the plan)
+# it does not reshape the plan). v4: 16, not 32 — the padding is pure
+# junk traffic for the scan (final tiles rarely land on a 32 multiple)
+# and the v4 scan's VMEM footprint caps scan_sbt at ~16 anyway
 
 # When the whole transposed x table fits under this budget it is passed
 # to the gather/reduce kernels as ONE resident VMEM block (constant
@@ -309,7 +316,17 @@ def _plan_gather_reduce(Aj: np.ndarray, row_ids: np.ndarray,
         np.maximum.at(maxlen, ub // LANES, blen)
         t_w = -(-maxlen // LANES)
         tile_base = np.concatenate([[0], np.cumsum(t_w)])
-        tile_of = tile_base[win] + pos // LANES
+        # Per-bucket chunk->tile ROTATION: chunk i of bucket (w, s)
+        # lands in tile (i + s*phi) % t_w[w] instead of tile i.
+        # Sequential assignment piles every bucket's first chunk into
+        # tile 0 of its window, so the per-tile RUN counts skew ~1.75x
+        # over the mean — which alone forces the partial-stream quota
+        # (Qp) up a whole padding class. The rotation decorrelates the
+        # bucket phases; runs stay lane-contiguous per (tile, sublane).
+        t_w_of = t_w[win]
+        phi = (sub.astype(np.int64) * 2654435761) % np.maximum(t_w_of, 1)
+        tile_of = tile_base[win] + (pos // LANES + phi) % np.maximum(
+            t_w_of, 1)
         lane_of = pos % LANES
         T_cold = int(tile_base[-1])
         src = np.full(T_cold * TILE, -1, dtype=np.int64)
@@ -445,45 +462,41 @@ def _final_tile_walk(Ap: np.ndarray, row_ids: np.ndarray, kappa: int):
     return k_starts, bases, r_starts, lrows
 
 
-HALF = TILE // 2  # flat boundary between the C and P route-1 halves
-
-
 def _plan_scan(plan_sh: ShufflePlan, k_starts, bases, r_starts, lrows,
                row_ids):
     """Build per-final-tile scan streams from the simulated shuffle
-    layout.
+    layout (v2 layout; mirror of native spmv_plan_scan2).
 
     The shuffle leaves each tile as rank-sorted runs separated by junk,
     so per-slot segment ids must be a MONOTONIC chunk id (cid): one id
     per maximal run of equal row in slot order; junk slots carry the
     previous cid + 16384 (the kernel masks them to the identity but the
-    segment bridges the gap).
+    segment bridges the gap). A per-slot `live` mask is the subtractive
+    kernel's cheaper junk test (1 B vs cid's 2 B).
 
     In-register routings finish the job; one stream set serves BOTH
     scan kernels (the generic roll/segmented-scan path and the
-    plus_times MXU prefix-difference path). Every route is built so no
-    source slot feeds more than ~2 flows — the 128-edge Konig cap in
-    ops/routing.py is structural, not probabilistic:
+    plus_times MXU prefix-difference path):
 
     1. route1C gathers, for each chunk c (REL-SORTED compact order at
-       spread positions p_i = 1 + i*stride, stride a power of two),
-       the scan/cumsum value at c's END slot. route1P (diff path only)
-       gathers the value at the END slot of c's SLOT-ORDER predecessor
-       (each end slot is predecessor of exactly one chunk). The diff
-       path computes chunk totals D = C - P on the chunk mask
-       ((ci-1) & (stride-1) == 0, ci in [1, 1+E*stride)) — P of the
-       slot-order-first chunk is zeroed via `first_idx` — then a
-       second flat cumsum Q. The generic path instead runs a
-       segmented scan over C keyed by `rel2` (junk-flagged gaps).
-    2. route2 is two-half: flat [0, 8192) holds each present rel's
-       LAST-chunk position (A_end), flat [8192, 16384) the previous
-       present rel's (A_prev; sentinel position 0 = compact gap with
-       Q=0 for the first). Row totals: diff path
-       y = valid2 ? A_end - A_prev : 0; generic path uses the A_end
-       half of the scan-2 values, masked by valid2.
+       spread positions p_i = 1 + i*stride, stride a power of two over
+       the WHOLE tile), the scan/cumsum value at c's END slot. route1P
+       (diff path only) gathers the value at the END slot of c's
+       SLOT-ORDER predecessor (each end slot is predecessor of exactly
+       one chunk). The diff path computes chunk totals D = C - P on
+       the chunk mask ((ci-1) & (stride-1) == 0, ci in
+       [1, 1+E*stride)) — P of the slot-order-first chunk is zeroed
+       via `first_idx` — then a second flat cumsum Q. The generic path
+       instead runs a segmented scan over C keyed by `rel2`
+       (junk-flagged gaps).
+    2. route2: dest space = the tile's BIN_ROWS rel positions (one
+       full route tile). src2e points each present rel at its LAST
+       chunk's compact position, src2p at the PREVIOUS present rel's
+       (position 0, where Q=0, for the first). Absent rels are
+       don't-care and both kernels mask them via valid2.
 
-    Requires E+1 <= HALF chunks per tile; raises ValueError otherwise
-    (the kappa search retries with smaller tiles).
+    Requires E+1 <= TILE-1 chunks per tile (kappa <= 16382 always
+    satisfies this); raises ValueError otherwise.
     """
     F = k_starts.shape[0] - 1
     P = BIN_ROWS // LANES
@@ -494,27 +507,28 @@ def _plan_scan(plan_sh: ShufflePlan, k_starts, bases, r_starts, lrows,
         from spmv_tpu import native
 
         if native.available():
-            (cid_s, rel2_s, src1c, src1p, src2, valid2, first_idx,
-             cmask, climit, fuse_ok) = native.plan_scan(
+            (cid_s, rel2_s, live_s, src1c, src1p, src2e, src2p, valid2,
+             first_idx, cmask, climit) = native.plan_scan(
                 np.asarray(k_starts, np.int64),
                 np.asarray(bases, np.int64),
                 plan_sh.slot_of_dst, np.asarray(row_ids, np.int64),
                 BIN_ROWS)
             return _scan_route_streams(
-                F, cid_s, rel2_s, src1c, src1p, src2, valid2,
-                first_idx, cmask, climit, fuse_ok)
+                cid_s, rel2_s, live_s, src1c, src1p, src2e, src2p,
+                valid2, first_idx, cmask, climit)
     except NotImplementedError:
         pass
     cid_s = np.zeros((F, TILE), dtype=np.int16)
     rel2_s = np.zeros((F, TILE), dtype=np.int16)
+    live_s = np.zeros((F, TILE), dtype=np.int8)
     src1c = np.full((F, LANES, LANES), -1, dtype=np.int32)
     src1p = np.full((F, LANES, LANES), -1, dtype=np.int32)
-    src2 = np.full((F, LANES, LANES), -1, dtype=np.int32)
+    src2e = np.full((F, LANES, LANES), -1, dtype=np.int32)
+    src2p = np.full((F, LANES, LANES), -1, dtype=np.int32)
     valid2 = np.zeros((F, P, LANES), dtype=np.int8)
     first_idx = np.zeros(F, dtype=np.int32)
     cmask = np.zeros(F, dtype=np.int32)   # stride - 1 (stride pow2)
     climit = np.zeros(F, dtype=np.int32)  # 1 + E * stride
-    fuse_ok = True  # C+P as one route (cheaper) when degrees permit
     for f in range(F):
         a, b = int(k_starts[f]), int(k_starts[f + 1])
         d = np.arange(a, b) - a + f * TILE
@@ -527,6 +541,7 @@ def _plan_scan(plan_sh: ShufflePlan, k_starts, bases, r_starts, lrows,
         relv = (rows - bases[f]).astype(np.int64)
         so = np.argsort(local)
         ls, rs = local[so], relv[so]
+        live_s[f][ls] = 1
         # chunk ids: a new chunk at every row change in slot order
         new_chunk = np.ones(ls.shape[0], dtype=bool)
         if ls.size > 1:
@@ -552,9 +567,9 @@ def _plan_scan(plan_sh: ShufflePlan, k_starts, bases, r_starts, lrows,
             is_end[:-1] = cid[:-1] != cid[1:]
         epos, erel = ls[is_end], rs[is_end]
         E = epos.shape[0]
-        if E + 1 > HALF:
+        if E + 1 > TILE - 1:
             raise ValueError(
-                f"scan capacity: {E} chunks in tile {f} exceed {HALF - 1}")
+                f"scan capacity: {E} chunks in tile {f} exceed {TILE - 2}")
         # Compact layout: chunk i (rel-sorted) sits at flat position
         # p_i = 1 + i*stride (stride = power of two, so the kernel's
         # chunk mask is a bitwise AND); position 0 and the gaps carry
@@ -563,7 +578,7 @@ def _plan_scan(plan_sh: ShufflePlan, k_starts, bases, r_starts, lrows,
         # tiles don't concentrate route-2 sources on one source row.
         eorder = np.argsort(erel, kind="stable")
         stride = 1
-        while stride * 2 * (E + 1) <= HALF - 1:
+        while stride * 2 * (E + 1) <= TILE - 1:
             stride *= 2
         p = 1 + np.arange(E) * stride
         cmask[f] = stride - 1
@@ -571,56 +586,44 @@ def _plan_scan(plan_sh: ShufflePlan, k_starts, bases, r_starts, lrows,
         src1c[f].reshape(-1)[p] = epos[eorder]
         prev_idx = np.maximum(eorder - 1, 0)
         src1p[f].reshape(-1)[p] = epos[prev_idx]
-        # C+P can share ONE route iff no source row exceeds the
-        # 128-edge Konig cap with both halves' edges counted
-        # (dedup by (source slot, dest row)).
-        pairs = np.concatenate([
-            (epos[eorder] << 8) + (p // LANES),
-            (epos[prev_idx] << 8) + (P + p // LANES)])
-        srcrow = np.unique(pairs) >> 15  # slot>>7 -> row, slot<<8: >>15
-        if srcrow.size and np.bincount(srcrow).max() > LANES:
-            fuse_ok = False
         first_idx[f] = int(p[np.nonzero(eorder == 0)[0][0]])
         se = erel[eorder]
         _fill_stream(se, p, rel2_s[f])
-        # route2, two halves: A_end = Q at each present rel's last
-        # chunk; A_prev = Q at the PREVIOUS present rel's last chunk
-        # (compact position 0 — a gap with Q=0 — for the first).
+        # route2: A_end = Q at each present rel's last chunk; A_prev =
+        # Q at the PREVIOUS present rel's last chunk (compact position
+        # 0 — a gap with Q=0 — for the first).
         run_end = np.ones(E, dtype=bool)
         run_end[:-1] = se[:-1] != se[1:]
         rels = se[run_end]
         pos = p[np.nonzero(run_end)[0]]
-        s2 = src2[f].reshape(-1)
-        s2[rels] = pos
-        s2[HALF + rels[0]] = 0
+        s2e = src2e[f].reshape(-1)
+        s2p = src2p[f].reshape(-1)
+        s2e[rels] = pos
+        s2p[rels[0]] = 0
         if rels.shape[0] > 1:
-            s2[HALF + rels[1:]] = pos[:-1]
+            s2p[rels[1:]] = pos[:-1]
         valid2[f].reshape(-1)[rels] = 1
-    return _scan_route_streams(F, cid_s, rel2_s, src1c, src1p, src2,
-                               valid2, first_idx, cmask, climit, fuse_ok)
+    return _scan_route_streams(cid_s, rel2_s, live_s, src1c, src1p,
+                               src2e, src2p, valid2, first_idx, cmask,
+                               climit)
 
 
-def _scan_route_streams(F, cid_s, rel2_s, src1c, src1p, src2, valid2,
-                        first_idx, cmask, climit, fuse_ok):
+def _scan_route_streams(cid_s, rel2_s, live_s, src1c, src1p, src2e,
+                        src2p, valid2, first_idx, cmask, climit):
     """Shared tail of _plan_scan: 3-stage-route the stream sources."""
-    if fuse_ok:
-        src1f = np.full((F, LANES * LANES), -1, dtype=np.int32)
-        src1f[:, :HALF] = src1c.reshape(F, -1)[:, :HALF]
-        src1f[:, HALF:] = src1p.reshape(F, -1)[:, :HALF]
-        r1c = route_tiles(src1f.reshape(F, LANES, LANES))
-        r1p = (np.zeros_like(r1c[0]),) * 3  # unused by the fused kernel
-    else:
-        r1c = route_tiles(src1c)
-        r1p = route_tiles(src1p)
-    r2 = route_tiles(src2)
+    F = cid_s.shape[0]
+    r1c = route_tiles(src1c.reshape(F, LANES, LANES), dedupe=False)
+    r1p = route_tiles(src1p.reshape(F, LANES, LANES))
+    r2e = route_tiles(src2e.reshape(F, LANES, LANES), dedupe=False)
+    r2p = route_tiles(src2p.reshape(F, LANES, LANES), dedupe=False)
     return {
-        "cid": cid_s, "rel2": rel2_s,
+        "cid": cid_s, "rel2": rel2_s, "live": live_s,
         "r1s1": r1c[0], "r1s2": r1c[1], "r1s3": r1c[2],
         "p1s1": r1p[0], "p1s2": r1p[1], "p1s3": r1p[2],
-        "r2s1": r2[0], "r2s2": r2[1], "r2s3": r2[2],
+        "r2s1": r2e[0], "r2s2": r2e[1], "r2s3": r2e[2],
+        "q2s1": r2p[0], "q2s2": r2p[1], "q2s3": r2p[2],
         "valid2": valid2, "first_idx": first_idx,
         "cmask": cmask, "climit": climit,
-        "r1_fused": fuse_ok,
     }
 
 
@@ -719,10 +722,21 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         n_runs = red["n_runs"]
         Qp_need = max(8, -(-(int(red["p_of_part"].max()) + 1) // LANES
                            // 8) * 8)
+        # v4: the smallest padded stream size the shuffle geometry
+        # accepts is 64 tiles (2-pass q1=16 needs region_tiles to
+        # divide 128); sizes double from there. Pick the smallest that
+        # fits Qp_need, then RE-SPREAD the quota so live data fills
+        # the padded space uniformly (a junk tail concentrates the
+        # downstream per-flow quotas and collapses kappa — measured
+        # both in round 3 and again with the v4 compact attempt).
+        s_pad = 64
+        while (s_pad * LANES // pad_tiles // 8) * 8 < Qp_need \
+                and s_pad < pad_tiles * (REDUCE_MAX_RUNS // LANES) // LANES:
+            s_pad *= 2
         Qp = min(REDUCE_MAX_RUNS // LANES,
-                 max(Qp_need, (128 * LANES // pad_tiles // 8) * 8))
+                 max(Qp_need, (s_pad * LANES // pad_tiles // 8) * 8))
         stream_tiles = pad_tiles * Qp // LANES
-        s_pad = max(128, -(-stream_tiles // 128) * 128)
+        s_pad = max(s_pad, -(-stream_tiles // 8) * 8)
         # Rank ties within a row are PSEUDO-RANDOM over (tile, p):
         # tile-order ties would hand each final tile a few consecutive
         # source tiles' chunks (a heavy row's ~70-128 partials per
@@ -842,17 +856,19 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     scan = {
         "cid": padt(scan["cid"], 16384),
         "rel2": padt(scan["rel2"], 16384),
+        "live": padt(scan["live"], 0),
         "r1s1": padt(scan["r1s1"], 0), "r1s2": padt(scan["r1s2"], 0),
         "r1s3": padt(scan["r1s3"], 0),
         "p1s1": padt(scan["p1s1"], 0), "p1s2": padt(scan["p1s2"], 0),
         "p1s3": padt(scan["p1s3"], 0),
         "r2s1": padt(scan["r2s1"], 0), "r2s2": padt(scan["r2s2"], 0),
         "r2s3": padt(scan["r2s3"], 0),
+        "q2s1": padt(scan["q2s1"], 0), "q2s2": padt(scan["q2s2"], 0),
+        "q2s3": padt(scan["q2s3"], 0),
         "valid2": padt(scan["valid2"], 0),
         "first_idx": padt(scan["first_idx"], 0),
         "cmask": padt(scan["cmask"], 0),
         "climit": padt(scan["climit"], 0),
-        "r1_fused": scan["r1_fused"],
     }
 
     # merge plan: each 128-row y block gathers its contributing
@@ -873,7 +889,11 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     for f in range(F):
         for b in range(int(lo[f]), int(hi[f]) + 1):
             contrib[b].append(f * P + int(b - fb[f]))
-    MERGE_CAP = 2
+    # Pair-reduce every multi-contributor block down to ONE ycand row
+    # (depth-1 final merge): the uniform depth-2 gather would re-read a
+    # full 4 MB identity row set for the ~0.3% of blocks that actually
+    # have a second contributor (26/8192 on the bench matrix).
+    MERGE_CAP = 1
     ident_row = F_pad * P
     next_id = ident_row + 1
     merge_levels: list = []  # [(ia, ib)] pairwise-reduce index arrays
@@ -913,19 +933,25 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     reduce_dev = None
     if red is not None:
         c1, c2, c3 = route_tiles(red["src_route"], dedupe=False)
+        # the sublane-first-run mask rides the high bit of the final
+        # route stage (lane indexes use 7 bits): one fewer stream to
+        # read per slot in the reduce kernel
+        HR = REDUCE_MAX_RUNS // LANES
+        c3 = c3.copy()
+        c3[:, :HR, :] |= (red["firstmask"].astype(np.uint8) << 7)
         reduce_dev = {
             "c1": dput(c1.reshape(-1, LANES)),
             "c2": dput(c2.reshape(-1, LANES)),
             "c3": dput(c3.reshape(-1, LANES)),
-            "fm": dput(red["firstmask"].reshape(-1, LANES)),
             "Qp": int(red["Qp"]),
             "out_rows": int(red["out_rows"]),
         }
     scan_dev = {
         k: dput(scan[k].reshape(-1, LANES))
-        for k in ("cid", "rel2", "r1s1", "r1s2", "r1s3",
+        for k in ("cid", "rel2", "live", "r1s1", "r1s2", "r1s3",
                   "p1s1", "p1s2", "p1s3",
-                  "r2s1", "r2s2", "r2s3", "valid2")
+                  "r2s1", "r2s2", "r2s3",
+                  "q2s1", "q2s2", "q2s3", "valid2")
     }
     scan_dev.update({
         "merge_idx": jnp.asarray(merge_idx),
@@ -935,7 +961,6 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         "first_idx": jnp.asarray(scan["first_idx"]),
         "cmask": jnp.asarray(scan["cmask"]),
         "climit": jnp.asarray(scan["climit"]),
-        "r1_fused": scan["r1_fused"],
     })
     return StreamPlan(
         n_gather_tiles=pad_tiles, n_final_tiles=F, layers=1,
@@ -1065,8 +1090,7 @@ def _reduce_kernel(sbt: int, sr: Semiring, identity: float, Qp: int,
 
     HROWS = REDUCE_MAX_RUNS // LANES  # 64: the C half of a routed tile
 
-    def kernel(xb_ref, ax_ref, q_ref, c1_ref, c2_ref, c3_ref, fm_ref,
-               *rest):
+    def kernel(xb_ref, ax_ref, q_ref, c1_ref, c2_ref, c3_ref, *rest):
         t = pl.program_id(0)
         n_x = 1 if x_vmem else sbt
         xwins = rest[:n_x]
@@ -1086,7 +1110,8 @@ def _reduce_kernel(sbt: int, sr: Semiring, identity: float, Qp: int,
         S = jax.lax.dot_general(
             v, triu, (((1,), (0,)), ((), ())),
             precision=_MM_PRECISION, preferred_element_type=v.dtype)
-        routed = route3_batched(S, c1_ref[...], c2_ref[...], c3_ref[...])
+        c3v = c3_ref[...].astype(jnp.int32)
+        routed = route3_batched(S, c1_ref[...], c2_ref[...], c3v & 127)
         C = jnp.concatenate(
             [routed[j * LANES:j * LANES + HROWS] for j in range(sbt)],
             axis=0)
@@ -1096,7 +1121,11 @@ def _reduce_kernel(sbt: int, sr: Semiring, identity: float, Qp: int,
         # lands on p=0 slots, which are sublane-first runs -> masked
         prev = jnp.where(lane_iota(C.shape) == 0, pltpu.roll(rl, 1, 0),
                          rl)
-        fm = fm_ref[...].astype(jnp.int32)
+        # the sublane-first mask rides c3's high bit (VERDICT r3
+        # item 1: one fewer per-slot stream)
+        fm = jnp.concatenate(
+            [(c3v >> 7)[j * LANES:j * LANES + HROWS] for j in range(sbt)],
+            axis=0)
         P = jnp.where(fm > 0, jnp.zeros_like(prev), prev)
         part = C - P
         out_ref[...] = jnp.concatenate(
@@ -1107,7 +1136,7 @@ def _reduce_kernel(sbt: int, sr: Semiring, identity: float, Qp: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "sr", "sbt", "n_tiles", "Qp", "out_rows", "interpret"))
-def _reduce_pass(x2d, ax, q, xb, c1, c2, c3, fm, *, sr: Semiring, sbt,
+def _reduce_pass(x2d, ax, q, xb, c1, c2, c3, *, sr: Semiring, sbt,
                  n_tiles, Qp, out_rows, interpret):
     """Pass 0 of the reduced pipeline: (n_tiles) gather tiles in, a
     junk-padded (out_rows, 128) partial stream out (rows past
@@ -1115,7 +1144,6 @@ def _reduce_pass(x2d, ax, q, xb, c1, c2, c3, fm, *, sr: Semiring, sbt,
     them as junk)."""
     identity = float(sr.identity_for(ax.dtype))
     n_steps = n_tiles // sbt
-    HROWS = REDUCE_MAX_RUNS // LANES
     x_vmem, x_specs, x_args = _x_specs(x2d, sbt)
 
     def blk(rows):
@@ -1126,7 +1154,6 @@ def _reduce_pass(x2d, ax, q, xb, c1, c2, c3, fm, *, sr: Semiring, sbt,
         grid=(n_steps,),
         in_specs=(
             [blk(sbt * LANES)] * 5
-            + [blk(sbt * HROWS)]
             + x_specs
         ),
         out_specs=pl.BlockSpec((sbt * Qp, LANES), lambda t, xb: (t, 0)),
@@ -1138,7 +1165,7 @@ def _reduce_pass(x2d, ax, q, xb, c1, c2, c3, fm, *, sr: Semiring, sbt,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(xb, ax, q, c1, c2, c3, fm, *x_args)
+    )(xb, ax, q, c1, c2, c3, *x_args)
 
 
 def _route3(v, s1_ref, s2_ref, s3_ref):
@@ -1221,75 +1248,56 @@ def _flat_cumsum_batched(v, R: int):
     return jnp.concatenate(outs, axis=0)
 
 
-def _scan_kernel_diff(sbt: int, fused: bool):
-    """plus_times scan: MXU flat cumsum + prefix differences.
+def _scan_kernel_diff(sbt: int):
+    """plus_times scan: MXU flat cumsum + prefix differences (v2).
 
     Chunk totals come out of ONE tile-wide cumsum as differences of
-    routed chunk-end prefixes (C − P halves of route 1); row totals
-    come out of a second cumsum over the rel-sorted compact layout as
-    differences at consecutive rel positions (fill-forward absent rels
-    make their diffs vanish). Replaces both segmented roll-scans of the
-    generic path; the cross-tile fixup stays the accumulating revisit
-    of the y bin (ref: agent_segment_fixup.cuh analog).
+    routed chunk-end prefixes (separate C and P routes, full-tile
+    compact span); row totals come out of a second cumsum over the
+    rel-sorted compact layout as differences of routed A_end/A_prev
+    positions, masked by valid2 for absent rels. Replaces both
+    segmented roll-scans of the generic path; the cross-tile fixup
+    stays the accumulating revisit of the y bin
+    (ref: agent_segment_fixup.cuh analog).
     """
-    P = BIN_ROWS // LANES
+    P = BIN_ROWS // LANES  # == LANES: rel space is one full tile
 
     def kernel(fidx_ref, cmask_ref, climit_ref, *refs):
-        if fused:
-            (prod_ref, cid_ref, r1s1_ref, r1s2_ref, r1s3_ref,
-             r2s1_ref, r2s2_ref, r2s3_ref, valid2_ref, out_ref) = refs
-        else:
-            (prod_ref, cid_ref, r1s1_ref, r1s2_ref, r1s3_ref,
-             p1s1_ref, p1s2_ref, p1s3_ref,
-             r2s1_ref, r2s2_ref, r2s3_ref, valid2_ref, out_ref) = refs
+        (prod_ref, live_ref, r1s1_ref, r1s2_ref, r1s3_ref,
+         p1s1_ref, p1s2_ref, p1s3_ref,
+         r2s1_ref, r2s2_ref, r2s3_ref,
+         q2s1_ref, q2s2_ref, q2s3_ref, valid2_ref, out_ref) = refs
         t = pl.program_id(0)
 
         # sbt tiles per grid step (batched lane gathers + batched MXU
         # cumsums amortize per-op overhead). The step writes its y
         # candidate windows to a FLAT per-tile array — a single-level
         # grid keeps the pipeline fetching step t+1's blocks while
-        # step t computes (the round-2 (T, sbt) grid put all compute
-        # on an inner step whose block fetch could only overlap a tiny
-        # window write, serializing DMA and compute — measured as
-        # exactly DMA floor + VPU time). Bin merging happens outside
-        # the kernel (one small MXU matmul / layered reduce).
-        cid = cid_ref[...].astype(jnp.int32)
-        prod = jnp.where(cid < 16384, prod_ref[...], 0.0)
+        # step t computes. Bin merging happens outside the kernel.
+        lv = live_ref[...].astype(jnp.int32)
+        prod = jnp.where(lv > 0, prod_ref[...], 0.0)
         S = _flat_cumsum_batched(prod, LANES)
-        C = _route3_batched(S, r1s1_ref[...], r1s2_ref[...],
-                            r1s3_ref[...])
-        C4 = C.reshape(sbt, 2, P, LANES)
-        Ce = C4[:, 0].reshape(sbt * P, LANES)
-        if fused:
-            Pe = C4[:, 1].reshape(sbt * P, LANES)
-        else:
-            Pv = _route3_batched(S, p1s1_ref[...], p1s2_ref[...],
-                                 p1s3_ref[...])
-            Pe = Pv.reshape(sbt, 2, P, LANES)[:, 0].reshape(
-                sbt * P, LANES)
-        # per-tile scalars splat over each (P, LANES) block
-        ci = flat_iota((sbt * P, LANES)) % (P * LANES)
+        Ce = _route3_batched(S, r1s1_ref[...], r1s2_ref[...],
+                             r1s3_ref[...])
+        Pe = _route3_batched(S, p1s1_ref[...], p1s2_ref[...],
+                             p1s3_ref[...])
+        # per-tile scalars splat over each (LANES, LANES) block
+        ci = flat_iota((sbt * LANES, LANES)) % TILE
 
         def splat(ref):
             return jnp.concatenate(
-                [jnp.full((P, LANES), ref[t * sbt + i], jnp.int32)
+                [jnp.full((LANES, LANES), ref[t * sbt + i], jnp.int32)
                  for i in range(sbt)], axis=0)
 
         Pe = jnp.where(ci == splat(fidx_ref), jnp.zeros_like(Pe), Pe)
         is_chunk = ((jnp.bitwise_and(ci - 1, splat(cmask_ref)) == 0)
                     & (ci >= 1) & (ci < splat(climit_ref)))
         D = jnp.where(is_chunk, Ce - Pe, jnp.zeros_like(Ce))
-        Q = _flat_cumsum_batched(D, P)
-        Q4 = Q.reshape(sbt, 1, P, LANES)
-        # route-2 source: [Q_i; Q_i] per tile (upper half: same
-        # coords, don't-care)
-        Qsrc = jnp.concatenate([Q4, Q4], axis=1).reshape(
-            sbt * LANES, LANES)
-        R2 = _route3_batched(Qsrc, r2s1_ref[...], r2s2_ref[...],
-                             r2s3_ref[...])
-        R4 = R2.reshape(sbt, 2, P, LANES)
-        ends = R4[:, 0].reshape(sbt * P, LANES)
-        prevs = R4[:, 1].reshape(sbt * P, LANES)
+        Q = _flat_cumsum_batched(D, LANES)
+        ends = _route3_batched(Q, r2s1_ref[...], r2s2_ref[...],
+                               r2s3_ref[...])
+        prevs = _route3_batched(Q, q2s1_ref[...], q2s2_ref[...],
+                                q2s3_ref[...])
         vm = valid2_ref[...].astype(jnp.int32) > 0
         out_ref[...] = jnp.where(vm, ends - prevs, jnp.zeros_like(ends))
 
@@ -1298,8 +1306,11 @@ def _scan_kernel_diff(sbt: int, fused: bool):
 
 def _scan_kernel_roll(sr: Semiring, identity: float, sbt: int):
     """Generic-semiring scan: segmented roll-scans (any associative
-    reduce, no inverse assumed). Same plan streams as the diff path."""
-    P = BIN_ROWS // LANES
+    reduce, no inverse assumed). Same plan streams as the diff path
+    (r1C chunk-end route + r2 A_end route; absent rels masked by
+    valid2 since a non-inverse ring cannot use the subtraction
+    trick)."""
+    P = BIN_ROWS // LANES  # == LANES
 
     def kernel(fidx_ref, cmask_ref, climit_ref,
                prod_ref, cid_ref, r1s1_ref, r1s2_ref, r1s3_ref,
@@ -1331,17 +1342,16 @@ def _scan_kernel_roll(sr: Semiring, identity: float, sbt: int):
             scan2 = segmented_scan_tile(ends, rel2 & 16383, sr.reduce,
                                         identity)
 
-            # route2: per-row totals into the rel-addressed y window
-            # (the A_end half; the A_prev half is diff-path-only).
-            # Rows split across tiles combine OUTSIDE the kernel by
-            # semiring associativity (layered reduce over each bin's
-            # windows — the decoupled-lookback fixup analog,
-            # ref: agent_segment_fixup.cuh).
+            # route2 (A_end): per-row totals into the rel-addressed y
+            # window. Rows split across tiles combine OUTSIDE the
+            # kernel by semiring associativity (layered reduce over
+            # each bin's windows — the decoupled-lookback fixup
+            # analog, ref: agent_segment_fixup.cuh).
             y_full = _route3(scan2, sl(r2s1_ref), sl(r2s2_ref),
                              sl(r2s3_ref))
             vm = valid2_ref[pl.ds(i * P, P), :].astype(jnp.int32) > 0
             out_ref[pl.ds(i * P, P), :] = jnp.where(
-                vm, y_full[:P, :],
+                vm, y_full,
                 jnp.full((P, LANES), identity, dtype=y_full.dtype))
 
     return kernel
@@ -1401,11 +1411,11 @@ def _gather_pass(x2d, ax, q, xb, *, sr: Semiring, sbt, n_tiles, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sr", "F_pad", "interpret", "r1_fused", "strategy", "sbt"))
-def _scan_pass(prod_fin, cid, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
-               rel2, r2s1, r2s2, r2s3,
+    "sr", "F_pad", "interpret", "strategy", "sbt"))
+def _scan_pass(prod_fin, cid, live, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
+               rel2, r2s1, r2s2, r2s3, q2s1, q2s2, q2s3,
                valid2, first_idx, cmask, climit,
-               *, sr: Semiring, F_pad, interpret, r1_fused,
+               *, sr: Semiring, F_pad, interpret,
                strategy: str = "auto", sbt: int = SBT_SCAN):
     """Scan over final tiles, `sbt` per grid step, writing each tile's
     y-candidate window to a FLAT (F_pad*P, 128) array (windows of the
@@ -1421,15 +1431,10 @@ def _scan_pass(prod_fin, cid, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
         return pl.BlockSpec((rows * sbt, LANES), lambda t, *_: (t, 0))
 
     if diff:
-        kernel = _scan_kernel_diff(sbt, r1_fused)
-        if r1_fused:
-            in_specs = [tile_spec(LANES)] * 8 + [tile_spec(P)]
-            args = (prod_fin, cid, r1s1, r1s2, r1s3,
-                    r2s1, r2s2, r2s3, valid2)
-        else:
-            in_specs = [tile_spec(LANES)] * 11 + [tile_spec(P)]
-            args = (prod_fin, cid, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
-                    r2s1, r2s2, r2s3, valid2)
+        kernel = _scan_kernel_diff(sbt)
+        in_specs = [tile_spec(LANES)] * 14 + [tile_spec(P)]
+        args = (prod_fin, live, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
+                r2s1, r2s2, r2s3, q2s1, q2s2, q2s3, valid2)
     else:
         kernel = _scan_kernel_roll(sr, identity, sbt)
         in_specs = [tile_spec(LANES)] * 9 + [tile_spec(P)]
@@ -1540,7 +1545,7 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
         rd = plan.reduce
         part = _reduce_pass(
             x2d, plan.gather["Ax"].astype(val_dtype), plan.gather["q"],
-            plan.gather["xb"], rd["c1"], rd["c2"], rd["c3"], rd["fm"],
+            plan.gather["xb"], rd["c1"], rd["c2"], rd["c3"],
             sr=semiring, sbt=8, n_tiles=plan.n_gather_tiles,
             Qp=rd["Qp"], out_rows=rd["out_rows"], interpret=interp)
         prod_fin = apply_shuffle(part, plan.shuffle, plan.shuffle_dev)
@@ -1574,14 +1579,15 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
             prod_fin, ((0, F_pad * LANES - prod_fin.shape[0]), (0, 0)))
 
     ycand = _scan_pass(
-        prod_fin, plan.scan["cid"], plan.scan["r1s1"], plan.scan["r1s2"],
-        plan.scan["r1s3"], plan.scan["p1s1"], plan.scan["p1s2"],
-        plan.scan["p1s3"], plan.scan["rel2"], plan.scan["r2s1"],
-        plan.scan["r2s2"], plan.scan["r2s3"], plan.scan["valid2"],
+        prod_fin, plan.scan["cid"], plan.scan["live"],
+        plan.scan["r1s1"], plan.scan["r1s2"], plan.scan["r1s3"],
+        plan.scan["p1s1"], plan.scan["p1s2"], plan.scan["p1s3"],
+        plan.scan["rel2"], plan.scan["r2s1"], plan.scan["r2s2"],
+        plan.scan["r2s3"], plan.scan["q2s1"], plan.scan["q2s2"],
+        plan.scan["q2s3"], plan.scan["valid2"],
         plan.scan["first_idx"], plan.scan["cmask"], plan.scan["climit"],
         sr=semiring, F_pad=F_pad, interpret=interp,
-        r1_fused=plan.scan["r1_fused"], strategy=policy.scan_strategy,
-        sbt=policy.scan_sbt)
+        strategy=policy.scan_strategy, sbt=policy.scan_sbt)
 
     n_levels = 0
     lv = []
@@ -1611,10 +1617,10 @@ def audit_plan(plan: StreamPlan, nnz: int, val_bytes: int = 4) -> dict:
         x_bytes = gt * TILE * val_bytes
     passes = {}
     if plan.reduce is not None:
-        # reduce pass: Ax + q + x + 3 route stages + firstmask,
-        # writing only Qp partial rows per tile
+        # reduce pass: Ax + q + x + 3 route stages (firstmask rides
+        # c3's high bit), writing only Qp partial rows per tile
         passes["reduce"] = int(
-            gt * TILE * (val_bytes + 1 + 3 + 0.5) + x_bytes
+            gt * TILE * (val_bytes + 1 + 3) + x_bytes
             + gt * plan.reduce["Qp"] * LANES * val_bytes)
     else:
         # gather: Ax (val) + q (1B) + x
@@ -1626,9 +1632,8 @@ def audit_plan(plan: StreamPlan, nnz: int, val_bytes: int = 4) -> dict:
         rw = val_bytes if (i == 0 and fused01) else 2 * val_bytes
         passes[f"split{i}"] = (rows * LB * (rw + 3)
                                + p.starts.size * 4)
-    scan_aux = 2 + 3 + 3 + 0.5  # cid + r1 + r2 + valid2 (diff, fused)
-    if not plan.scan["r1_fused"]:
-        scan_aux += 3
+    # diff path: live (1) + r1C/r1P (3+3) + r2e/r2p (3+3) + valid2 (1)
+    scan_aux = 1 + 3 + 3 + 3 + 3 + 1
     passes["scan"] = int(F_pad * TILE * (val_bytes + scan_aux)
                          + F_pad * BIN_ROWS * val_bytes)
     L_m = int(np.asarray(plan.scan["merge_idx"]).shape[0])

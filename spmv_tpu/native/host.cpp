@@ -934,45 +934,47 @@ int spmv_scatter_slots(int64_t n_fin, const int64_t* fin,
   return 0;
 }
 
-// Scan-stream planner: per-final-tile chunk/route stream construction
-// (mirror of the Python loop in kernels/stream.py _plan_scan; see its
-// docstring for the layout contract). One pass per tile, all O(TILE).
+// Scan-stream planner v2: per-final-tile chunk/route stream
+// construction (mirror of the Python loop in kernels/stream.py
+// _plan_scan; see its docstring for the layout contract). One pass per
+// tile, all O(TILE). v2 vs the round-3 layout: the compact chunk
+// positions span the WHOLE tile (E <= 16383 instead of 8191, so
+// post-reduction tiles can be ~full), route 2 has separate END and
+// PREV source tiles (dest space = bin_rows = 16384 rel positions =
+// one full tile; absent rels masked by valid2), and a per-slot live
+// mask replaces cid as the junk test of the subtractive kernel.
 //
 // Inputs: k_starts (F+1), bases (F, per-tile 128-aligned first row;
-// rel = row - bases[f] must land in [0, bin_rows)), slot_of_dst (F*16384, the
-// shuffle's simulated placement), row_ids (nnz). Outputs are the scan
-// streams: cid/rel2 (F*16384 i16), route sources src1c/src1p/src2
-// (F*16384 i32, -1 filled), valid2 (F*8192 i8), first_idx/cmask/
-// climit (F i32), fuse_ok (1 i32, AND over tiles).
-//
-// The fuse degree check exploits structure instead of sorting pairs:
-// C-half keys (end slot, dest row<64) are distinct (chunk end slots
-// are distinct), P-half keys live in dest rows >= 64 (disjoint from
-// C), and within the P half only the clamped first chunk can
-// duplicate a key (same predecessor slot twice) — an O(1) correction.
-int spmv_plan_scan(int64_t F, const int64_t* k_starts, const int64_t* bases,
-                   const int64_t* slot_of_dst, const int64_t* row_ids,
-                   int32_t bin_rows,
-                   int16_t* cid_s, int16_t* rel2_s,
-                   int32_t* src1c, int32_t* src1p, int32_t* src2,
-                   int8_t* valid2, int32_t* first_idx, int32_t* cmask,
-                   int32_t* climit, int32_t* fuse_ok) {
-  const int T = 16384, L = 128, HALFC = T / 2;
-  const int P = bin_rows / L;  // dest rows per half
+// rel = row - bases[f] must land in [0, bin_rows)), slot_of_dst
+// (F*16384, the shuffle's simulated placement), row_ids (n_items).
+// Outputs: cid/rel2 (F*16384 i16), live (F*16384 i8), route sources
+// src1c/src1p/src2e/src2p (F*16384 i32, -1 filled), valid2
+// (F*bin_rows i8, roll path only), first_idx/cmask/climit (F i32).
+int spmv_plan_scan2(int64_t F, const int64_t* k_starts, const int64_t* bases,
+                    const int64_t* slot_of_dst, const int64_t* row_ids,
+                    int32_t bin_rows,
+                    int16_t* cid_s, int16_t* rel2_s, int8_t* live_s,
+                    int32_t* src1c, int32_t* src1p,
+                    int32_t* src2e, int32_t* src2p,
+                    int8_t* valid2, int32_t* first_idx, int32_t* cmask,
+                    int32_t* climit) {
+  const int T = 16384, L = 128;
+  const int P = bin_rows / L;
+  if (bin_rows > T) return fail("plan_scan: bin_rows exceeds tile");
   std::memset(src1c, 0xFF, (size_t)F * T * sizeof(int32_t));
   std::memset(src1p, 0xFF, (size_t)F * T * sizeof(int32_t));
-  std::memset(src2, 0xFF, (size_t)F * T * sizeof(int32_t));
+  std::memset(src2e, 0xFF, (size_t)F * T * sizeof(int32_t));
+  std::memset(src2p, 0xFF, (size_t)F * T * sizeof(int32_t));
   std::memset(valid2, 0, (size_t)F * (size_t)(P * L));
-  *fuse_ok = 1;
+  std::memset(live_s, 0, (size_t)F * T);
   int32_t* pos2rank = (int32_t*)std::malloc(T * sizeof(int32_t));
-  int32_t* epos = (int32_t*)std::malloc((HALFC + 1) * sizeof(int32_t));
-  int32_t* erel = (int32_t*)std::malloc((HALFC + 1) * sizeof(int32_t));
-  int32_t* eorder = (int32_t*)std::malloc((HALFC + 1) * sizeof(int32_t));
+  int32_t* epos = (int32_t*)std::malloc((T + 1) * sizeof(int32_t));
+  int32_t* erel = (int32_t*)std::malloc((T + 1) * sizeof(int32_t));
+  int32_t* eorder = (int32_t*)std::malloc((T + 1) * sizeof(int32_t));
   int32_t* relcnt = (int32_t*)std::malloc((bin_rows + 1) * sizeof(int32_t));
-  int32_t* rowcnt = (int32_t*)std::malloc(L * sizeof(int32_t));
-  if (!pos2rank || !epos || !erel || !eorder || !relcnt || !rowcnt) {
+  if (!pos2rank || !epos || !erel || !eorder || !relcnt) {
     std::free(pos2rank); std::free(epos); std::free(erel);
-    std::free(eorder); std::free(relcnt); std::free(rowcnt);
+    std::free(eorder); std::free(relcnt);
     return fail("plan_scan: out of memory");
   }
   int rc = 0;
@@ -992,8 +994,9 @@ int spmv_plan_scan(int64_t F, const int64_t* k_starts, const int64_t* bases,
       pos2rank[s] = (int32_t)i;
     }
     if (rc != 0) break;
-    // slot-order walk: chunk ids, chunk ends, cid fill stream
+    // slot-order walk: chunk ids, chunk ends, cid fill stream, live
     int16_t* cid_t = cid_s + f * T;
+    int8_t* live_t = live_s + f * T;
     int E = 0;
     int32_t prev_rel = -1, last_cid = -1, prev_live_slot = -1;
     for (int s = 0; s < T; ++s) {
@@ -1002,6 +1005,7 @@ int spmv_plan_scan(int64_t F, const int64_t* k_starts, const int64_t* bases,
         cid_t[s] = (int16_t)((last_cid < 0 ? 0 : last_cid) + T);
         continue;
       }
+      live_t[s] = 1;
       int32_t rel = (int32_t)(row_ids[a + i] - rel_base);
       if (rel < 0 || rel >= bin_rows) {
         rc = fail("plan_scan: rel out of bin range");
@@ -1009,7 +1013,7 @@ int spmv_plan_scan(int64_t F, const int64_t* k_starts, const int64_t* bases,
       }
       if (last_cid < 0 || rel != prev_rel) {
         if (last_cid >= 0) { epos[E - 1] = prev_live_slot; }
-        if (E >= HALFC) break;  // capacity; checked below
+        if (E >= T - 1) break;  // capacity; checked below
         erel[E] = rel;
         ++E;
         ++last_cid;
@@ -1019,10 +1023,10 @@ int spmv_plan_scan(int64_t F, const int64_t* k_starts, const int64_t* bases,
       prev_live_slot = s;
     }
     if (rc != 0) break;
-    if (E + 1 > HALFC) {
+    if (E + 1 > T - 1) {
       std::snprintf(g_err, sizeof(g_err),
                     "scan capacity: %d chunks in tile %lld exceed %d",
-                    E, (long long)f, HALFC - 1);
+                    E, (long long)f, T - 2);
       rc = -1;
       break;
     }
@@ -1032,41 +1036,30 @@ int spmv_plan_scan(int64_t F, const int64_t* k_starts, const int64_t* bases,
     for (int c = 0; c < E; ++c) relcnt[erel[c] + 1]++;
     for (int r = 0; r < bin_rows; ++r) relcnt[r + 1] += relcnt[r];
     for (int c = 0; c < E; ++c) eorder[relcnt[erel[c]]++] = c;
-    // compact layout stride (power of two)
+    // compact layout stride (power of two, spread over the full tile)
     int stride = 1;
-    while (stride * 2 * (E + 1) <= HALFC - 1) stride *= 2;
+    while (stride * 2 * (E + 1) <= T - 1) stride *= 2;
     cmask[f] = stride - 1;
     climit[f] = 1 + E * stride;
     int32_t* c1 = src1c + f * T;
     int32_t* p1 = src1p + f * T;
-    int32_t* s2 = src2 + f * T;
+    int32_t* s2e = src2e + f * T;
+    int32_t* s2p = src2p + f * T;
     int8_t* v2 = valid2 + f * (int64_t)(P * L);
     int16_t* rel2_t = rel2_s + f * T;
-    std::memset(rowcnt, 0, L * sizeof(int32_t));
-    // P-half duplicate correction state: predecessor slot and dest
-    // rows of the two clamp-affected ranks (chunk 0 and chunk 1)
-    int clamp_drow[2] = {-1, -2};
     for (int i = 0; i < E; ++i) {
       int c = eorder[i];
       int p = 1 + i * stride;
       c1[p] = epos[c];
       int pc = c > 0 ? c - 1 : 0;
       p1[p] = epos[pc];
-      if (c == 0) { clamp_drow[0] = p / L; first_idx[f] = p; }
-      if (c == 1) { clamp_drow[1] = p / L; }
-      rowcnt[epos[c] >> 7]++;        // C-half key (distinct)
-      rowcnt[epos[pc] >> 7]++;       // P-half key (may dup on clamp)
+      if (c == 0) first_idx[f] = p;
     }
-    if (clamp_drow[0] == clamp_drow[1] && E > 1)
-      rowcnt[epos[0] >> 7]--;        // identical (slot, drow) pair
-    for (int r = 0; r < L; ++r)
-      if (rowcnt[r] > L) { *fuse_ok = 0; break; }
-    // rel2 fill stream + route2 two-half sources
-    // (walk compact positions ascending == rel ascending)
+    // route2 sources: per present rel, END = its last chunk's compact
+    // position, PREV = the previous present rel's; absent rels stay
+    // -1 (don't-care) and both kernels mask them via valid2
     {
       int prev_runpos = -1;  // p of the previous present rel's LAST chunk
-      int cur_val = E ? erel[eorder[0]] : 0;
-      int nxt = 0;           // next compact index to emit
       int32_t run_rel = -1, run_lastp = -1;
       for (int i = 0; i < E; ++i) {
         int c = eorder[i];
@@ -1074,8 +1067,8 @@ int spmv_plan_scan(int64_t F, const int64_t* k_starts, const int64_t* bases,
         int32_t r = erel[c];
         if (r != run_rel) {
           if (run_rel >= 0) {
-            s2[run_rel] = run_lastp;
-            s2[HALFC + run_rel] = prev_runpos < 0 ? 0 : prev_runpos;
+            s2e[run_rel] = run_lastp;
+            s2p[run_rel] = prev_runpos < 0 ? 0 : prev_runpos;
             v2[run_rel] = 1;
             prev_runpos = run_lastp;
           }
@@ -1084,13 +1077,12 @@ int spmv_plan_scan(int64_t F, const int64_t* k_starts, const int64_t* bases,
         run_lastp = p;
       }
       if (run_rel >= 0) {
-        s2[run_rel] = run_lastp;
-        s2[HALFC + run_rel] = prev_runpos < 0 ? 0 : prev_runpos;
+        s2e[run_rel] = run_lastp;
+        s2p[run_rel] = prev_runpos < 0 ? 0 : prev_runpos;
         v2[run_rel] = 1;
       }
       // rel2: value at each compact position, junk = fill-fwd + 16384
       int32_t fillv = E ? erel[eorder[0]] : 0;
-      (void)cur_val; (void)nxt;
       int ci = 0;
       for (int s = 0; s < T; ++s) {
         int in_compact = (ci < E) && (s == 1 + ci * stride);
@@ -1105,7 +1097,7 @@ int spmv_plan_scan(int64_t F, const int64_t* k_starts, const int64_t* bases,
     }
   }
   std::free(pos2rank); std::free(epos); std::free(erel);
-  std::free(eorder); std::free(relcnt); std::free(rowcnt);
+  std::free(eorder); std::free(relcnt);
   return rc;
 }
 

@@ -27,13 +27,14 @@ from typing import Optional
 # a one-time autotune recommendation (see policy_for) — no invented
 # per-generation entries presented as data.
 CHIP_TABLES = {
-    # measured on the attached v5e (autotune sweep, round 3:
-    # kappa 12288 0.378 ms vs 14336 0.441 ms; +scan_sbt 16 -> 0.351 ms
-    # on the 3.3M-nnz power-law bench matrix; scan_sbt 32 exceeds the
-    # 16 MB scoped-VMEM stack)
-    "v5e": {4: {"kappa": 12288, "scan_sbt": 16},
+    # measured on the attached v5e (autotune sweeps, rounds 3-4:
+    # kappa 12288 beat 14336 on the 3.3M-nnz power-law bench matrix).
+    # scan_sbt: the v4 scan's per-step footprint is ~2x round 3's
+    # (full-tile rel windows), so the measured round-3 scan_sbt=16 no
+    # longer fits scoped VMEM; 8 is the v4 default pending re-sweep.
+    "v5e": {4: {"kappa": 12288, "scan_sbt": 8},
             8: {"kappa": 12288},
-            2: {"kappa": 12288, "scan_sbt": 16}},
+            2: {"kappa": 12288, "scan_sbt": 8}},
     # cpu = interpret-mode tests; throughput is not meaningful there,
     # the row only pins plan geometry for reproducibility
     "cpu": {4: {"kappa": 12288}, 8: {"kappa": 12288}, 2: {"kappa": 12288}},

@@ -256,18 +256,36 @@ def _dist_matvec(send_idx, recv_idx, blk_self, blk_halo, idx_own,
             # starts mid-row exports its partial for that first row;
             # the row's owner reduces them in (the cross-chip carry
             # fixup — SURVEY §7.6 boundary-partial combine). Tiny:
-            # one value per shard, one all_gather.
+            # one value per shard, one all_gather. export_rows is a
+            # plan-time constant, so the same-row grouping is done in
+            # NumPy at trace time and the traced graph is O(1) in the
+            # shard count (VERDICT r3 item 7): one static permutation,
+            # one segment reduce, one distinct-index scatter.
             parts = jax.lax.all_gather(y[:1], axis, tiled=True)  # (n,)
-            for i in range(n):
-                gr = int(export_rows[i])
-                if gr < 0:
-                    continue
-                pos = gr - own_start_l[0, 0]
-                ok = (pos >= 0) & (pos < y_own.shape[0])
-                pc = jnp.clip(pos, 0, y_own.shape[0] - 1)
-                upd = sr.reduce(y_own[pc],
-                                jnp.where(ok, parts[i], identity))
-                y_own = y_own.at[pc].set(jnp.where(ok, upd, y_own[pc]))
+            er = np.asarray(export_rows)
+            order = np.argsort(er, kind="stable")
+            er_sorted = er[order]
+            uniq, seg_of = np.unique(er_sorted, return_inverse=True)
+            ps = jnp.take(parts, jnp.asarray(order))
+            ps = jnp.where(jnp.asarray(er_sorted >= 0), ps, identity)
+            comb = segment_reduce_sorted(
+                ps, jnp.asarray(seg_of.astype(np.int32)), len(uniq),
+                sr, identity)
+            keep = np.nonzero(uniq >= 0)[0]
+            if keep.size:
+                comb_v = jnp.take(comb, jnp.asarray(keep))
+                pos = jnp.asarray(uniq[keep]) - own_start_l[0, 0]
+                # rows owned elsewhere fall out of [0, R_out): gather
+                # with a fill and scatter with mode="drop" — clipping
+                # instead would collide several masked updates on index
+                # R_out-1 and the duplicate-scatter winner is undefined.
+                # JAX wraps NEGATIVE indices even under fill/drop, so
+                # send those to an out-of-bounds sentinel first.
+                pos = jnp.where(pos >= 0, pos, y_own.shape[0])
+                old = jnp.take(y_own, pos, mode="fill",
+                               fill_value=identity)
+                upd = sr.reduce(old, comb_v)
+                y_own = y_own.at[pos].set(upd, mode="drop")
         return y_own[None, :]
 
     y_sharded = shard_map(

@@ -29,7 +29,8 @@ import numpy as np
 
 from spmv_tpu.formats import CSR
 
-_FORMAT_VERSION = 5  # v5: optional early-reduction (pass 0) arrays
+_FORMAT_VERSION = 6  # v6: scan-v2 streams (full-tile compact span,
+# separate end/prev route-2 tiles, live mask, fm packed into c3)
 
 
 def plan_key(A: CSR, policy) -> str:

@@ -252,11 +252,11 @@ class TestPlanScan:
         caps = []
         orig = st._scan_route_streams
 
-        def capture(F_, *streams):
+        def capture(*streams):
             caps.append(tuple(
                 np.array(s) if isinstance(s, np.ndarray) else s
                 for s in streams))
-            return orig(F_, *streams)
+            return orig(*streams)
 
         st._scan_route_streams = capture
         try:
@@ -273,14 +273,12 @@ class TestPlanScan:
             st._scan_route_streams = orig
 
         nat, ref = caps
-        names = ("cid", "rel2", "src1c", "src1p", "src2", "valid2",
-                 "first_idx", "cmask", "climit", "fuse_ok")
+        names = ("cid", "rel2", "live", "src1c", "src1p", "src2e",
+                 "src2p", "valid2", "first_idx", "cmask", "climit")
         for name, a, b in zip(names, nat, ref):
-            if name == "fuse_ok":
-                assert a == b
-            else:
-                np.testing.assert_array_equal(
-                    np.asarray(a), np.asarray(b), err_msg=name)
+            np.testing.assert_array_equal(
+                np.asarray(a).reshape(-1), np.asarray(b).reshape(-1),
+                err_msg=name)
 
 
 class TestSpgemmSymbolic:

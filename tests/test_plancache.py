@@ -78,7 +78,9 @@ def test_scan_sbt_variants_share_plan(tmp_path, monkeypatch):
     A = power_law_csr(1500, 1500, 12000, alpha=1.4, seed=9)
     x = np.random.default_rng(2).standard_normal(1500).astype(np.float32)
     ys = []
-    for sbt in (8, 16, 32):
+    # v4 granule: any divisor of SBT_SCAN_MAX shares one plan (32 was
+    # dropped when the full-rel-window scan outgrew its VMEM budget)
+    for sbt in (8, 16):
         pol = st.StreamPolicy(scan_sbt=sbt)
         assert pc.plan_key(A, pol) == pc.plan_key(A, st.DEFAULT_POLICY)
         ys.append(np.asarray(st._stream_spmv(
@@ -86,7 +88,6 @@ def test_scan_sbt_variants_share_plan(tmp_path, monkeypatch):
     files = [f for f in os.listdir(tmp_path) if f.startswith("stream-")]
     assert len(files) == 1, files
     np.testing.assert_array_equal(ys[0], ys[1])
-    np.testing.assert_array_equal(ys[0], ys[2])
 
 
 def test_stale_plan_version_rebuilds(tmp_path):
