@@ -117,7 +117,7 @@ def main(nnz=3_300_000, iters=40):
         cur = run_split(cur).reshape(p.out_rows, LANES)
 
     s = plan.scan
-    F_pad = s["cid"].shape[0] // LANES
+    F_pad = s["relid"].shape[0] // LANES
     prod_fin = cur
     if prod_fin.shape[0] < F_pad * LANES:
         prod_fin = jnp.pad(
@@ -125,30 +125,31 @@ def main(nnz=3_300_000, iters=40):
 
     def run_scan(v):
         return stream._scan_pass(
-            v, s["cid"], s["live"], s["r1s1"], s["r1s2"], s["r1s3"],
-            s["p1s1"], s["p1s2"], s["p1s3"], s["rel2"],
+            v, s["relid"], s["pm1"], s["pm2"], s["pm3"],
             s["r2s1"], s["r2s2"], s["r2s3"],
-            s["q2s1"], s["q2s2"], s["q2s3"], s["valid2"],
-            s["first_idx"], s["cmask"], s["climit"],
+            s["q2s1"], s["q2s2"], s["q2s3"], s["valid2"], s["counts"],
             sr=sr, F_pad=F_pad,
             strategy=pol.scan_strategy, sbt=pol.scan_sbt,
             interpret=interp)
 
-    gb = (F_pad * 16384 * 17.0 + F_pad * 16384 * 4) / 1e9
+    gb = (F_pad * 16384 * 14.0 + F_pad * 16384 * 4) / 1e9
     stages += rep(f"scan (sbt={pol.scan_sbt})", run_scan, prod_fin, gb)
     ycand = run_scan(prod_fin)
 
-    nlv, lv = 0, []
-    while f"mlv{nlv}_a" in s:
-        lv += [s[f"mlv{nlv}_a"], s[f"mlv{nlv}_b"]]
-        nlv += 1
-    L_m = int(np.asarray(s["merge_idx"]).shape[0])
+    pieces = tuple(zip(
+        (int(v) for v in np.asarray(s["m_kind"])),
+        (int(v) for v in np.asarray(s["m_a"])),
+        (int(v) for v in np.asarray(s["m_len"]))))
+    n_fix, fx = 0, []
+    while f"fx{n_fix}_out" in s:
+        fx += [s[f"fx{n_fix}_out"], s[f"fx{n_fix}_src"]]
+        n_fix += 1
 
     def run_merge(v):
-        return stream._bin_merge(v, s["merge_idx"], *lv, sr=sr,
-                                 n_levels=nlv)
+        return stream._merge_pieces(v, *fx, sr=sr, pieces=pieces,
+                                    n_fix=n_fix)
 
-    gb = (L_m + 1) * plan.n_y_blocks * 128 * 4 / 1e9
+    gb = 2 * plan.n_y_blocks * 128 * 4 / 1e9
     stages += rep("merge", run_merge, ycand, gb)
 
     xj = jnp.asarray(x)

@@ -464,166 +464,96 @@ def _final_tile_walk(Ap: np.ndarray, row_ids: np.ndarray, kappa: int):
 
 def _plan_scan(plan_sh: ShufflePlan, k_starts, bases, r_starts, lrows,
                row_ids):
-    """Build per-final-tile scan streams from the simulated shuffle
-    layout (v2 layout; mirror of native spmv_plan_scan2).
+    """Build per-final-tile scan streams (v3 exact-rank layout; mirror
+    of native spmv_plan_scan3).
 
-    The shuffle leaves each tile as rank-sorted runs separated by junk,
-    so per-slot segment ids must be a MONOTONIC chunk id (cid): one id
-    per maximal run of equal row in slot order; junk slots carry the
-    previous cid + 16384 (the kernel masks them to the identity but the
-    segment bridges the gap). A per-slot `live` mask is the subtractive
-    kernel's cheaper junk test (1 B vs cid's 2 B).
+    The kernel first routes the tile's slots into EXACT RANK order
+    (positions 1..m; position 0 is a reserved zero-prefix slot), which
+    makes rel ids MONOTONE in position: every row is one contiguous
+    run, so its total is S[e_r] - S[e_{r-1}] for a single tile-wide
+    MXU cumsum S, where e_r is the row's last position. Streams:
 
-    In-register routings finish the job; one stream set serves BOTH
-    scan kernels (the generic roll/segmented-scan path and the
-    plus_times MXU prefix-difference path):
-
-    1. route1C gathers, for each chunk c (REL-SORTED compact order at
-       spread positions p_i = 1 + i*stride, stride a power of two over
-       the WHOLE tile), the scan/cumsum value at c's END slot. route1P
-       (diff path only) gathers the value at the END slot of c's
-       SLOT-ORDER predecessor (each end slot is predecessor of exactly
-       one chunk). The diff path computes chunk totals D = C - P on
-       the chunk mask ((ci-1) & (stride-1) == 0, ci in
-       [1, 1+E*stride)) — P of the slot-order-first chunk is zeroed
-       via `first_idx` — then a second flat cumsum Q. The generic path
-       instead runs a segmented scan over C keyed by `rel2`
-       (junk-flagged gaps).
-    2. route2: dest space = the tile's BIN_ROWS rel positions (one
-       full route tile). src2e points each present rel at its LAST
-       chunk's compact position, src2p at the PREVIOUS present rel's
-       (position 0, where Q=0, for the first). Absent rels are
-       don't-care and both kernels mask them via valid2.
-
-    Requires E+1 <= TILE-1 chunks per tile (kappa <= 16382 always
-    satisfies this); raises ValueError otherwise.
+    - perm_src: exact-perm route source (slot of rank p-1 at position
+      p); the junk mask is simply position in [1, m+1) with m the
+      per-tile `counts` scalar — no per-slot mask stream.
+    - src2e / src2p: END and PREV position per present rel, routed
+      into the (BIN_ROWS-rel) y window; y = ends - prevs, masked by
+      valid2 (absent rels). The generic roll path uses src2e only
+      (its segmented scan restarts per rel).
+    - relid (roll path only): rel id per exact position, junk-flagged
+      (+16384) at position 0 and the tail.
     """
     F = k_starts.shape[0] - 1
     P = BIN_ROWS // LANES
 
-    # Native fast path: the per-tile loop in C (same streams; the
-    # "scan capacity" ValueError propagates for the kappa retry).
     try:
         from spmv_tpu import native
 
         if native.available():
-            (cid_s, rel2_s, live_s, src1c, src1p, src2e, src2p, valid2,
-             first_idx, cmask, climit) = native.plan_scan(
-                np.asarray(k_starts, np.int64),
-                np.asarray(bases, np.int64),
-                plan_sh.slot_of_dst, np.asarray(row_ids, np.int64),
-                BIN_ROWS)
-            return _scan_route_streams(
-                cid_s, rel2_s, live_s, src1c, src1p, src2e, src2p,
-                valid2, first_idx, cmask, climit)
+            (perm_src, relid, src2e, src2p, valid2, counts) = \
+                native.plan_scan(
+                    np.asarray(k_starts, np.int64),
+                    np.asarray(bases, np.int64),
+                    plan_sh.slot_of_dst, np.asarray(row_ids, np.int64),
+                    BIN_ROWS)
+            return _scan_route_streams(perm_src, relid, src2e, src2p,
+                                       valid2, counts)
     except NotImplementedError:
         pass
-    cid_s = np.zeros((F, TILE), dtype=np.int16)
-    rel2_s = np.zeros((F, TILE), dtype=np.int16)
-    live_s = np.zeros((F, TILE), dtype=np.int8)
-    src1c = np.full((F, LANES, LANES), -1, dtype=np.int32)
-    src1p = np.full((F, LANES, LANES), -1, dtype=np.int32)
+    perm_src = np.full((F, LANES, LANES), -1, dtype=np.int32)
+    relid = np.zeros((F, TILE), dtype=np.int16)
     src2e = np.full((F, LANES, LANES), -1, dtype=np.int32)
     src2p = np.full((F, LANES, LANES), -1, dtype=np.int32)
     valid2 = np.zeros((F, P, LANES), dtype=np.int8)
-    first_idx = np.zeros(F, dtype=np.int32)
-    cmask = np.zeros(F, dtype=np.int32)   # stride - 1 (stride pow2)
-    climit = np.zeros(F, dtype=np.int32)  # 1 + E * stride
+    counts = np.zeros(F, dtype=np.int32)
     for f in range(F):
         a, b = int(k_starts[f]), int(k_starts[f + 1])
+        m = b - a
+        if m > TILE - 1:
+            raise ValueError(f"scan capacity: {m} ranks in tile {f}")
         d = np.arange(a, b) - a + f * TILE
         slots = plan_sh.slot_of_dst[d]
         assert (slots >= 0).all()
-        local = slots - f * TILE
+        local = (slots - f * TILE).astype(np.int64)
         assert (local >= 0).all() and (local < TILE).all(), \
             "shuffle placed a rank outside its tile"
-        rows = row_ids[a:b]
-        relv = (rows - bases[f]).astype(np.int64)
-        so = np.argsort(local)
-        ls, rs = local[so], relv[so]
-        live_s[f][ls] = 1
-        # chunk ids: a new chunk at every row change in slot order
-        new_chunk = np.ones(ls.shape[0], dtype=bool)
-        if ls.size > 1:
-            new_chunk[1:] = rs[1:] != rs[:-1]
-        cid = np.cumsum(new_chunk) - 1
-
-        def _fill_stream(vals, positions, out):
-            """positions -> vals; junk slots: fill-forward + 16384."""
-            full = np.zeros(TILE, dtype=np.int64)
-            lm = np.zeros(TILE, dtype=bool)
-            full[positions] = vals
-            lm[positions] = True
-            idx = np.where(lm, np.arange(TILE), -1)
-            np.maximum.accumulate(idx, out=idx)
-            filled = np.where(idx >= 0, full[np.clip(idx, 0, None)],
-                              vals[0] if vals.size else 0)
-            out[:] = np.where(lm, filled, filled + 16384).astype(np.int16)
-
-        _fill_stream(cid, ls, cid_s[f])
-        # chunk ends (last slot of each cid), in slot order
-        is_end = np.ones(ls.shape[0], dtype=bool)
-        if ls.size > 1:
-            is_end[:-1] = cid[:-1] != cid[1:]
-        epos, erel = ls[is_end], rs[is_end]
-        E = epos.shape[0]
-        if E + 1 > TILE - 1:
-            raise ValueError(
-                f"scan capacity: {E} chunks in tile {f} exceed {TILE - 2}")
-        # Compact layout: chunk i (rel-sorted) sits at flat position
-        # p_i = 1 + i*stride (stride = power of two, so the kernel's
-        # chunk mask is a bitwise AND); position 0 and the gaps carry
-        # no route edges and are masked to D=0 in the kernel. The
-        # stride SPREADS compact positions across sublanes so small-E
-        # tiles don't concentrate route-2 sources on one source row.
-        eorder = np.argsort(erel, kind="stable")
-        stride = 1
-        while stride * 2 * (E + 1) <= TILE - 1:
-            stride *= 2
-        p = 1 + np.arange(E) * stride
-        cmask[f] = stride - 1
-        climit[f] = 1 + E * stride
-        src1c[f].reshape(-1)[p] = epos[eorder]
-        prev_idx = np.maximum(eorder - 1, 0)
-        src1p[f].reshape(-1)[p] = epos[prev_idx]
-        first_idx[f] = int(p[np.nonzero(eorder == 0)[0][0]])
-        se = erel[eorder]
-        _fill_stream(se, p, rel2_s[f])
-        # route2: A_end = Q at each present rel's last chunk; A_prev =
-        # Q at the PREVIOUS present rel's last chunk (compact position
-        # 0 — a gap with Q=0 — for the first).
-        run_end = np.ones(E, dtype=bool)
-        run_end[:-1] = se[:-1] != se[1:]
-        rels = se[run_end]
-        pos = p[np.nonzero(run_end)[0]]
+        rels = (row_ids[a:b] - bases[f]).astype(np.int64)
+        assert (rels >= 0).all() and (rels < BIN_ROWS).all()
+        assert (np.diff(rels) >= 0).all(), \
+            "ranks not row-sorted within tile"
+        counts[f] = m
+        pos = 1 + np.arange(m)
+        perm_src[f].reshape(-1)[pos] = local
+        rl = relid[f]
+        rl[0] = rels[0] + TILE
+        rl[pos] = rels
+        rl[m + 1:] = rels[-1] + TILE
+        new_run = np.ones(m, dtype=bool)
+        new_run[1:] = rels[1:] != rels[:-1]
+        starts_i = np.nonzero(new_run)[0]
+        run_rels = rels[starts_i]
+        ends_pos = np.append(starts_i[1:], m)  # e_r = 1 + last idx
         s2e = src2e[f].reshape(-1)
         s2p = src2p[f].reshape(-1)
-        s2e[rels] = pos
-        s2p[rels[0]] = 0
-        if rels.shape[0] > 1:
-            s2p[rels[1:]] = pos[:-1]
-        valid2[f].reshape(-1)[rels] = 1
-    return _scan_route_streams(cid_s, rel2_s, live_s, src1c, src1p,
-                               src2e, src2p, valid2, first_idx, cmask,
-                               climit)
+        s2e[run_rels] = ends_pos
+        s2p[run_rels] = np.concatenate([[0], ends_pos[:-1]])
+        valid2[f].reshape(-1)[run_rels] = 1
+    return _scan_route_streams(perm_src, relid, src2e, src2p, valid2,
+                               counts)
 
 
-def _scan_route_streams(cid_s, rel2_s, live_s, src1c, src1p, src2e,
-                        src2p, valid2, first_idx, cmask, climit):
+def _scan_route_streams(perm_src, relid, src2e, src2p, valid2, counts):
     """Shared tail of _plan_scan: 3-stage-route the stream sources."""
-    F = cid_s.shape[0]
-    r1c = route_tiles(src1c.reshape(F, LANES, LANES), dedupe=False)
-    r1p = route_tiles(src1p.reshape(F, LANES, LANES))
+    F = counts.shape[0]
+    pm = route_tiles(perm_src.reshape(F, LANES, LANES), dedupe=False)
     r2e = route_tiles(src2e.reshape(F, LANES, LANES), dedupe=False)
     r2p = route_tiles(src2p.reshape(F, LANES, LANES), dedupe=False)
     return {
-        "cid": cid_s, "rel2": rel2_s, "live": live_s,
-        "r1s1": r1c[0], "r1s2": r1c[1], "r1s3": r1c[2],
-        "p1s1": r1p[0], "p1s2": r1p[1], "p1s3": r1p[2],
+        "relid": relid,
+        "pm1": pm[0], "pm2": pm[1], "pm3": pm[2],
         "r2s1": r2e[0], "r2s2": r2e[1], "r2s3": r2e[2],
         "q2s1": r2p[0], "q2s2": r2p[1], "q2s3": r2p[2],
-        "valid2": valid2, "first_idx": first_idx,
-        "cmask": cmask, "climit": climit,
+        "valid2": valid2, "counts": counts,
     }
 
 
@@ -854,72 +784,67 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
 
     scan = {
-        "cid": padt(scan["cid"], 16384),
-        "rel2": padt(scan["rel2"], 16384),
-        "live": padt(scan["live"], 0),
-        "r1s1": padt(scan["r1s1"], 0), "r1s2": padt(scan["r1s2"], 0),
-        "r1s3": padt(scan["r1s3"], 0),
-        "p1s1": padt(scan["p1s1"], 0), "p1s2": padt(scan["p1s2"], 0),
-        "p1s3": padt(scan["p1s3"], 0),
+        "relid": padt(scan["relid"], 16384),
+        "pm1": padt(scan["pm1"], 0), "pm2": padt(scan["pm2"], 0),
+        "pm3": padt(scan["pm3"], 0),
         "r2s1": padt(scan["r2s1"], 0), "r2s2": padt(scan["r2s2"], 0),
         "r2s3": padt(scan["r2s3"], 0),
         "q2s1": padt(scan["q2s1"], 0), "q2s2": padt(scan["q2s2"], 0),
         "q2s3": padt(scan["q2s3"], 0),
         "valid2": padt(scan["valid2"], 0),
-        "first_idx": padt(scan["first_idx"], 0),
-        "cmask": padt(scan["cmask"], 0),
-        "climit": padt(scan["climit"], 0),
+        "counts": padt(scan["counts"], 0),
     }
 
-    # merge plan: each 128-row y block gathers its contributing
-    # y-candidate window rows (tile windows overlap arbitrarily now
-    # that they sit at per-tile bases). Hub rows produce RUNS of tiles
-    # sharing one base — up to hundreds of contributors on one block —
-    # so deep blocks are first pair-reduced by a plan-time reduction
-    # tree (tiny takes over just the hub windows, appended as virtual
-    # rows), capping the final layered merge at depth 2.
-    # merge_idx[d, b] = the d-th contributing (real or virtual) ycand
-    # row of y block b, or the all-identity pad row (index F_pad*P).
+    # merge plan (v3): ragged-concat pieces + per-depth fixups.
+    # Each final tile's y window covers y2d blocks [lo_f, hi_f]; a
+    # block's FIRST contributor row joins a contiguous slice piece of
+    # the flat ycand array (copies at streaming speed instead of an
+    # 8192-row XLA gather, which measured 136 GB/s), uncovered blocks
+    # become identity-fill pieces, and the rare extra contributors
+    # (window overlaps at tile boundaries / hub rows; 26/8192 blocks
+    # on the bench matrix) are applied afterwards as per-depth
+    # distinct-row semiring fixups (the decoupled-lookback analog,
+    # ref: merge_based/agent_segment_fixup.cuh).
     P = BIN_ROWS // LANES
     NBY = -(-A.n_rows // LANES)
     fb = (bases // LANES).astype(np.int64)
     lo = (r_starts.astype(np.int64) // LANES)
     hi = (lrows.astype(np.int64) // LANES)
-    contrib: list = [[] for _ in range(NBY)]
+    primary = np.full(NBY, -1, dtype=np.int64)  # ycand row per block
+    extras: list = [[] for _ in range(NBY)]
     for f in range(F):
-        for b in range(int(lo[f]), int(hi[f]) + 1):
-            contrib[b].append(f * P + int(b - fb[f]))
-    # Pair-reduce every multi-contributor block down to ONE ycand row
-    # (depth-1 final merge): the uniform depth-2 gather would re-read a
-    # full 4 MB identity row set for the ~0.3% of blocks that actually
-    # have a second contributor (26/8192 on the bench matrix).
-    MERGE_CAP = 1
-    ident_row = F_pad * P
-    next_id = ident_row + 1
-    merge_levels: list = []  # [(ia, ib)] pairwise-reduce index arrays
-    while max((len(c) for c in contrib), default=0) > MERGE_CAP:
-        ia, ib = [], []
-        for b in range(NBY):
-            c = contrib[b]
-            if len(c) <= MERGE_CAP:
-                continue
-            nc = []
-            for i in range(0, len(c) - 1, 2):
-                ia.append(c[i])
-                ib.append(c[i + 1])
-                nc.append(next_id)
-                next_id += 1
-            if len(c) % 2:
-                nc.append(c[-1])
-            contrib[b] = nc
-        merge_levels.append((np.asarray(ia, np.int32),
-                             np.asarray(ib, np.int32)))
-    L_merge = max(max((len(c) for c in contrib), default=1), 1)
-    merge_idx = np.full((L_merge, NBY), ident_row, dtype=np.int32)
-    for b in range(NBY):
-        for d, r in enumerate(contrib[b]):
-            merge_idx[d, b] = r
-
+        for b2 in range(int(lo[f]), int(hi[f]) + 1):
+            r = f * P + int(b2 - fb[f])
+            if primary[b2] < 0:
+                primary[b2] = r
+            else:
+                extras[b2].append(r)
+    # maximal pieces: consecutive blocks with consecutive primary rows
+    m_kind: list = []  # 0 = ycand slice, 1 = identity fill
+    m_a: list = []     # slice start row (kind 0) or 0
+    m_len: list = []
+    b2 = 0
+    while b2 < NBY:
+        if primary[b2] < 0:
+            j = b2
+            while j < NBY and primary[j] < 0:
+                j += 1
+            m_kind.append(1); m_a.append(0); m_len.append(j - b2)
+        else:
+            j = b2
+            while (j + 1 < NBY and primary[j + 1] == primary[j] + 1):
+                j += 1
+            m_kind.append(0); m_a.append(int(primary[b2]))
+            m_len.append(j - b2 + 1)
+            j += 1
+        b2 = j if m_kind[-1] == 1 else j
+    depth = max((len(e) for e in extras), default=0)
+    fix_levels = []
+    for d in range(depth):
+        outs = [b3 for b3 in range(NBY) if len(extras[b3]) > d]
+        srcs = [extras[b3][d] for b3 in outs]
+        fix_levels.append((np.asarray(outs, np.int32),
+                           np.asarray(srcs, np.int32)))
     Ax_slots = np.where(slot_src >= 0, Ax[np.clip(slot_src, 0, nnz - 1)], 0)
 
     _log("host planning done; uploading device arrays")
@@ -948,19 +873,18 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         }
     scan_dev = {
         k: dput(scan[k].reshape(-1, LANES))
-        for k in ("cid", "rel2", "live", "r1s1", "r1s2", "r1s3",
-                  "p1s1", "p1s2", "p1s3",
+        for k in ("relid", "pm1", "pm2", "pm3",
                   "r2s1", "r2s2", "r2s3",
                   "q2s1", "q2s2", "q2s3", "valid2")
     }
     scan_dev.update({
-        "merge_idx": jnp.asarray(merge_idx),
-        **{f"mlv{k}_{h}": jnp.asarray(arr)
-           for k, pair in enumerate(merge_levels)
-           for h, arr in zip(("a", "b"), pair)},
-        "first_idx": jnp.asarray(scan["first_idx"]),
-        "cmask": jnp.asarray(scan["cmask"]),
-        "climit": jnp.asarray(scan["climit"]),
+        "counts": jnp.asarray(scan["counts"]),
+        "m_kind": np.asarray(m_kind, np.int32),
+        "m_a": np.asarray(m_a, np.int32),
+        "m_len": np.asarray(m_len, np.int32),
+        **{f"fx{d}_{h}": jnp.asarray(arr)
+           for d, pair in enumerate(fix_levels)
+           for h, arr in zip(("out", "src"), pair)},
     })
     return StreamPlan(
         n_gather_tiles=pad_tiles, n_final_tiles=F, layers=1,
@@ -1249,54 +1173,34 @@ def _flat_cumsum_batched(v, R: int):
 
 
 def _scan_kernel_diff(sbt: int):
-    """plus_times scan: MXU flat cumsum + prefix differences (v2).
+    """plus_times scan v3: exact-rank perm + ONE MXU flat cumsum +
+    END/PREV prefix routes.
 
-    Chunk totals come out of ONE tile-wide cumsum as differences of
-    routed chunk-end prefixes (separate C and P routes, full-tile
-    compact span); row totals come out of a second cumsum over the
-    rel-sorted compact layout as differences of routed A_end/A_prev
-    positions, masked by valid2 for absent rels. Replaces both
-    segmented roll-scans of the generic path; the cross-tile fixup
-    stays the accumulating revisit of the y bin
-    (ref: agent_segment_fixup.cuh analog).
+    The perm route puts the tile's slots in exact rank order
+    (positions 1..m; 0 is a zero prefix), so rel ids are monotone and
+    every row is one contiguous run: its total is S[e_r] - S[e_{r-1}],
+    both prefixes routed straight into the rel-addressed y window.
+    Replaces v2's chunk machinery (4 routes + 2 cumsums + 2 mask
+    streams -> 3 routes + 1 cumsum + a per-tile count scalar).
     """
-    P = BIN_ROWS // LANES  # == LANES: rel space is one full tile
 
-    def kernel(fidx_ref, cmask_ref, climit_ref, *refs):
-        (prod_ref, live_ref, r1s1_ref, r1s2_ref, r1s3_ref,
-         p1s1_ref, p1s2_ref, p1s3_ref,
+    def kernel(counts_ref, *refs):
+        (prod_ref, pm1_ref, pm2_ref, pm3_ref,
          r2s1_ref, r2s2_ref, r2s3_ref,
          q2s1_ref, q2s2_ref, q2s3_ref, valid2_ref, out_ref) = refs
         t = pl.program_id(0)
 
-        # sbt tiles per grid step (batched lane gathers + batched MXU
-        # cumsums amortize per-op overhead). The step writes its y
-        # candidate windows to a FLAT per-tile array — a single-level
-        # grid keeps the pipeline fetching step t+1's blocks while
-        # step t computes. Bin merging happens outside the kernel.
-        lv = live_ref[...].astype(jnp.int32)
-        prod = jnp.where(lv > 0, prod_ref[...], 0.0)
-        S = _flat_cumsum_batched(prod, LANES)
-        Ce = _route3_batched(S, r1s1_ref[...], r1s2_ref[...],
-                             r1s3_ref[...])
-        Pe = _route3_batched(S, p1s1_ref[...], p1s2_ref[...],
-                             p1s3_ref[...])
-        # per-tile scalars splat over each (LANES, LANES) block
-        ci = flat_iota((sbt * LANES, LANES)) % TILE
-
-        def splat(ref):
-            return jnp.concatenate(
-                [jnp.full((LANES, LANES), ref[t * sbt + i], jnp.int32)
-                 for i in range(sbt)], axis=0)
-
-        Pe = jnp.where(ci == splat(fidx_ref), jnp.zeros_like(Pe), Pe)
-        is_chunk = ((jnp.bitwise_and(ci - 1, splat(cmask_ref)) == 0)
-                    & (ci >= 1) & (ci < splat(climit_ref)))
-        D = jnp.where(is_chunk, Ce - Pe, jnp.zeros_like(Ce))
-        Q = _flat_cumsum_batched(D, LANES)
-        ends = _route3_batched(Q, r2s1_ref[...], r2s2_ref[...],
+        v = _route3_batched(prod_ref[...], pm1_ref[...], pm2_ref[...],
+                            pm3_ref[...])
+        pos = flat_iota((sbt * LANES, LANES)) % TILE
+        m = jnp.concatenate(
+            [jnp.full((LANES, LANES), counts_ref[t * sbt + i],
+                      jnp.int32) for i in range(sbt)], axis=0)
+        ve = jnp.where((pos >= 1) & (pos <= m), v, 0.0)
+        S = _flat_cumsum_batched(ve, LANES)
+        ends = _route3_batched(S, r2s1_ref[...], r2s2_ref[...],
                                r2s3_ref[...])
-        prevs = _route3_batched(Q, q2s1_ref[...], q2s2_ref[...],
+        prevs = _route3_batched(S, q2s1_ref[...], q2s2_ref[...],
                                 q2s3_ref[...])
         vm = valid2_ref[...].astype(jnp.int32) > 0
         out_ref[...] = jnp.where(vm, ends - prevs, jnp.zeros_like(ends))
@@ -1305,49 +1209,32 @@ def _scan_kernel_diff(sbt: int):
 
 
 def _scan_kernel_roll(sr: Semiring, identity: float, sbt: int):
-    """Generic-semiring scan: segmented roll-scans (any associative
-    reduce, no inverse assumed). Same plan streams as the diff path
-    (r1C chunk-end route + r2 A_end route; absent rels masked by
-    valid2 since a non-inverse ring cannot use the subtraction
-    trick)."""
+    """Generic-semiring scan v3: exact-rank perm + ONE segmented
+    roll-scan keyed by rel (monotone after the perm; junk at position
+    0 and the tail is flagged +16384 and masked to the identity), then
+    the END route delivers each row's inclusive total to the rel
+    window. No inverse assumed (ref: the functor_t generic reduction,
+    merge_genl/agent_spmv_orig.cuh:98-124)."""
     P = BIN_ROWS // LANES  # == LANES
 
-    def kernel(fidx_ref, cmask_ref, climit_ref,
-               prod_ref, cid_ref, r1s1_ref, r1s2_ref, r1s3_ref,
-               rel2_ref, r2s1_ref, r2s2_ref, r2s3_ref, valid2_ref,
+    def kernel(counts_ref, prod_ref, pm1_ref, pm2_ref, pm3_ref,
+               relid_ref, r2s1_ref, r2s2_ref, r2s3_ref, valid2_ref,
                out_ref):
-        del fidx_ref, cmask_ref, climit_ref
+        del counts_ref
 
         for i in range(sbt):
             def sl(ref):
                 return ref[pl.ds(i * LANES, LANES), :]
 
-            # scan 1: per-chunk totals (monotonic chunk ids; junk
-            # slots carry cid+16384 so segments bridge gaps at the
-            # identity value)
-            cid = sl(cid_ref).astype(jnp.int32)
-            prod = jnp.where(cid < 16384, sl(prod_ref),
-                             jnp.full((LANES, LANES), identity,
-                                      dtype=prod_ref.dtype))
-            scan = segmented_scan_tile(prod, cid & 16383, sr.reduce,
+            v = _route3(sl(prod_ref), sl(pm1_ref), sl(pm2_ref),
+                        sl(pm3_ref))
+            relid = sl(relid_ref).astype(jnp.int32)
+            v = jnp.where(relid < 16384, v,
+                          jnp.full((LANES, LANES), identity,
+                                   dtype=prod_ref.dtype))
+            scan = segmented_scan_tile(v, relid & 16383, sr.reduce,
                                        identity)
-
-            # route1: chunk-end values into the rel-sorted compact
-            # layout, then scan 2 merges same-row chunks
-            ends = _route3(scan, sl(r1s1_ref), sl(r1s2_ref),
-                           sl(r1s3_ref))
-            rel2 = sl(rel2_ref).astype(jnp.int32)
-            ends = jnp.where(rel2 < 16384, ends,
-                             jnp.full_like(ends, identity))
-            scan2 = segmented_scan_tile(ends, rel2 & 16383, sr.reduce,
-                                        identity)
-
-            # route2 (A_end): per-row totals into the rel-addressed y
-            # window. Rows split across tiles combine OUTSIDE the
-            # kernel by semiring associativity (layered reduce over
-            # each bin's windows — the decoupled-lookback fixup
-            # analog, ref: agent_segment_fixup.cuh).
-            y_full = _route3(scan2, sl(r2s1_ref), sl(r2s2_ref),
+            y_full = _route3(scan, sl(r2s1_ref), sl(r2s2_ref),
                              sl(r2s3_ref))
             vm = valid2_ref[pl.ds(i * P, P), :].astype(jnp.int32) > 0
             out_ref[pl.ds(i * P, P), :] = jnp.where(
@@ -1412,15 +1299,15 @@ def _gather_pass(x2d, ax, q, xb, *, sr: Semiring, sbt, n_tiles, interpret):
 
 @functools.partial(jax.jit, static_argnames=(
     "sr", "F_pad", "interpret", "strategy", "sbt"))
-def _scan_pass(prod_fin, cid, live, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
-               rel2, r2s1, r2s2, r2s3, q2s1, q2s2, q2s3,
-               valid2, first_idx, cmask, climit,
+def _scan_pass(prod_fin, relid, pm1, pm2, pm3,
+               r2s1, r2s2, r2s3, q2s1, q2s2, q2s3,
+               valid2, counts,
                *, sr: Semiring, F_pad, interpret,
                strategy: str = "auto", sbt: int = SBT_SCAN):
     """Scan over final tiles, `sbt` per grid step, writing each tile's
-    y-candidate window to a FLAT (F_pad*P, 128) array (windows of the
-    same bin merge outside the kernel). A single-level grid lets the
-    pipeline prefetch step t+1's blocks during step t's compute."""
+    y-candidate window to a FLAT (F_pad*P, 128) array (windows merge
+    outside the kernel by ragged concat + fixups). A single-level grid
+    lets the pipeline prefetch step t+1's blocks during compute."""
     identity = float(sr.identity_for(prod_fin.dtype))
     P = BIN_ROWS // LANES
     T = F_pad // sbt
@@ -1432,17 +1319,17 @@ def _scan_pass(prod_fin, cid, live, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
 
     if diff:
         kernel = _scan_kernel_diff(sbt)
-        in_specs = [tile_spec(LANES)] * 14 + [tile_spec(P)]
-        args = (prod_fin, live, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
-                r2s1, r2s2, r2s3, q2s1, q2s2, q2s3, valid2)
+        in_specs = [tile_spec(LANES)] * 10 + [tile_spec(P)]
+        args = (prod_fin, pm1, pm2, pm3, r2s1, r2s2, r2s3,
+                q2s1, q2s2, q2s3, valid2)
     else:
         kernel = _scan_kernel_roll(sr, identity, sbt)
-        in_specs = [tile_spec(LANES)] * 9 + [tile_spec(P)]
-        args = (prod_fin, cid, r1s1, r1s2, r1s3, rel2, r2s1, r2s2, r2s3,
+        in_specs = [tile_spec(LANES)] * 8 + [tile_spec(P)]
+        args = (prod_fin, pm1, pm2, pm3, relid, r2s1, r2s2, r2s3,
                 valid2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(T,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((sbt * P, LANES), lambda t, *_: (t, 0)),
@@ -1455,36 +1342,37 @@ def _scan_pass(prod_fin, cid, live, r1s1, r1s2, r1s3, p1s1, p1s2, p1s3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(first_idx, cmask, climit, *args)
+    )(counts, *args)
 
 
-@functools.partial(jax.jit, static_argnames=("sr", "n_levels"))
-def _bin_merge(ycand, merge_idx, *levels, sr: Semiring, n_levels: int):
-    """Merge per-tile y-candidate windows into y.
+@functools.partial(jax.jit, static_argnames=("sr", "pieces", "n_fix"))
+def _merge_pieces(ycand, *fix, sr: Semiring, pieces, n_fix: int):
+    """Assemble y2d from per-tile y-candidate windows (v3).
 
-    Tile windows sit at arbitrary 128-aligned per-tile row bases, so
-    each 128-row y block combines its contributing ycand rows. Hub
-    rows can put hundreds of tile windows on one block, so the plan
-    supplies a pairwise reduction tree (`levels` = (ia, ib) index
-    pairs per level; reduced rows are appended as virtual rows) that
-    caps the final layered merge at depth 2 (index F_pad*P = an
-    appended all-identity row). This is the cross-tile fixup (the
-    decoupled-lookback analog, ref: merge_based/agent_segment_fixup.cuh)
-    hoisted out of the scan kernel so the scan grid stays single-level
-    (pipelined).
+    `pieces` is a static tuple of (kind, a, l): kind 0 copies l
+    consecutive ycand rows starting at a (a maximal run of y blocks
+    whose first contributor rows are consecutive — XLA emits plain
+    streaming copies), kind 1 emits l identity rows (blocks no tile
+    touches). The rare extra contributors (window overlap at tile
+    boundaries / hub rows) arrive as per-depth (out_rows, src_rows)
+    fixups applied with `sr.reduce` on distinct rows — the cross-tile
+    fixup analog (ref: merge_based/agent_segment_fixup.cuh) at a cost
+    proportional to the overlaps, not the matrix.
     """
     ident = sr.identity_for(ycand.dtype)
-    ycp = jnp.concatenate(
-        [ycand, jnp.full((1, LANES), ident, ycand.dtype)], axis=0)
-    for k in range(n_levels):
-        ia, ib = levels[2 * k], levels[2 * k + 1]
-        v = sr.reduce(jnp.take(ycp, ia, axis=0),
-                      jnp.take(ycp, ib, axis=0))
-        ycp = jnp.concatenate([ycp, v], axis=0)
-    acc = jnp.take(ycp, merge_idx[0], axis=0)
-    for d in range(1, merge_idx.shape[0]):
-        acc = sr.reduce(acc, jnp.take(ycp, merge_idx[d], axis=0))
-    return acc.reshape(-1)
+    parts = []
+    for kind, a, l in pieces:
+        if kind == 0:
+            parts.append(jax.lax.dynamic_slice_in_dim(ycand, a, l))
+        else:
+            parts.append(jnp.full((l, LANES), ident, ycand.dtype))
+    y2d = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    for d in range(n_fix):
+        out_i, src_i = fix[2 * d], fix[2 * d + 1]
+        upd = sr.reduce(jnp.take(y2d, out_i, axis=0),
+                        jnp.take(ycand, src_i, axis=0))
+        y2d = y2d.at[out_i].set(upd)
+    return y2d.reshape(-1)
 
 
 def plan_cache_key(policy: StreamPolicy) -> tuple:
@@ -1573,29 +1461,31 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy):
             plan.gather["xb"], sr=semiring, sbt=8,
             n_tiles=plan.n_gather_tiles, interpret=interp)
         prod_fin = apply_shuffle(prod, plan.shuffle, plan.shuffle_dev)
-    F_pad = plan.scan["cid"].shape[0] // LANES
+    F_pad = plan.scan["relid"].shape[0] // LANES
     if prod_fin.shape[0] < F_pad * LANES:
         prod_fin = jnp.pad(
             prod_fin, ((0, F_pad * LANES - prod_fin.shape[0]), (0, 0)))
 
     ycand = _scan_pass(
-        prod_fin, plan.scan["cid"], plan.scan["live"],
-        plan.scan["r1s1"], plan.scan["r1s2"], plan.scan["r1s3"],
-        plan.scan["p1s1"], plan.scan["p1s2"], plan.scan["p1s3"],
-        plan.scan["rel2"], plan.scan["r2s1"], plan.scan["r2s2"],
-        plan.scan["r2s3"], plan.scan["q2s1"], plan.scan["q2s2"],
-        plan.scan["q2s3"], plan.scan["valid2"],
-        plan.scan["first_idx"], plan.scan["cmask"], plan.scan["climit"],
+        prod_fin, plan.scan["relid"],
+        plan.scan["pm1"], plan.scan["pm2"], plan.scan["pm3"],
+        plan.scan["r2s1"], plan.scan["r2s2"], plan.scan["r2s3"],
+        plan.scan["q2s1"], plan.scan["q2s2"], plan.scan["q2s3"],
+        plan.scan["valid2"], plan.scan["counts"],
         sr=semiring, F_pad=F_pad, interpret=interp,
         strategy=policy.scan_strategy, sbt=policy.scan_sbt)
 
-    n_levels = 0
-    lv = []
-    while f"mlv{n_levels}_a" in plan.scan:
-        lv += [plan.scan[f"mlv{n_levels}_a"], plan.scan[f"mlv{n_levels}_b"]]
-        n_levels += 1
-    y_flat = _bin_merge(ycand, plan.scan["merge_idx"], *lv,
-                        sr=semiring, n_levels=n_levels)
+    pieces = tuple(zip(
+        (int(v) for v in np.asarray(plan.scan["m_kind"])),
+        (int(v) for v in np.asarray(plan.scan["m_a"])),
+        (int(v) for v in np.asarray(plan.scan["m_len"]))))
+    n_fix = 0
+    fx = []
+    while f"fx{n_fix}_out" in plan.scan:
+        fx += [plan.scan[f"fx{n_fix}_out"], plan.scan[f"fx{n_fix}_src"]]
+        n_fix += 1
+    y_flat = _merge_pieces(ycand, *fx, sr=semiring, pieces=pieces,
+                           n_fix=n_fix)
     return y_flat[: A.n_rows]
 
 
@@ -1606,7 +1496,7 @@ def audit_plan(plan: StreamPlan, nnz: int, val_bytes: int = 4) -> dict:
     is the bandwidth-bound time floor."""
     LB = LANES
     gt = plan.n_gather_tiles
-    F_pad = plan.scan["cid"].shape[0] // LB
+    F_pad = plan.scan["relid"].shape[0] // LB
     p0 = plan.shuffle.passes[0]
     fused01 = p0.sbt == 8 and p0.n_steps * 8 == gt
     # x traffic: one 65 KB window per tile, or — when the whole table
@@ -1632,12 +1522,15 @@ def audit_plan(plan: StreamPlan, nnz: int, val_bytes: int = 4) -> dict:
         rw = val_bytes if (i == 0 and fused01) else 2 * val_bytes
         passes[f"split{i}"] = (rows * LB * (rw + 3)
                                + p.starts.size * 4)
-    # diff path: live (1) + r1C/r1P (3+3) + r2e/r2p (3+3) + valid2 (1)
-    scan_aux = 1 + 3 + 3 + 3 + 3 + 1
+    # diff path v3: perm (3) + r2e/r2p (3+3) + valid2 (1)
+    scan_aux = 3 + 3 + 3 + 1
     passes["scan"] = int(F_pad * TILE * (val_bytes + scan_aux)
                          + F_pad * BIN_ROWS * val_bytes)
-    L_m = int(np.asarray(plan.scan["merge_idx"]).shape[0])
-    passes["merge"] = int((L_m + 1) * plan.n_y_blocks * LB * val_bytes)
+    # ragged concat: one read + one write of the y rows, plus fixups
+    n_fix_rows = sum(np.asarray(plan.scan[k]).shape[0]
+                     for k in plan.scan if str(k).startswith("fx")) // 2
+    passes["merge"] = int((2 * plan.n_y_blocks + 3 * n_fix_rows)
+                          * LB * val_bytes)
     total = sum(passes.values())
     return {
         "per_pass_bytes": passes,

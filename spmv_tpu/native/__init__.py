@@ -123,10 +123,10 @@ def _load():
         lib.spmv_geom_key_max.restype = I64
         P16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
         PI8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
-        lib.spmv_plan_scan2.argtypes = [
+        lib.spmv_plan_scan3.argtypes = [
             I64, P64, P64, P64, P64, ctypes.c_int32,
-            P16, P16, PI8, P32, P32, P32, P32, PI8, P32, P32, P32]
-        lib.spmv_plan_scan2.restype = ctypes.c_int
+            P32, P16, P32, P32, PI8, P32]
+        lib.spmv_plan_scan3.restype = ctypes.c_int
         lib.spmv_route_tiles.restype = ctypes.c_int
         PPI32 = ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))
         PPI64 = ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))
@@ -377,11 +377,11 @@ def scatter_slots(fin, n_out: int):
 
 
 def plan_scan(k_starts, bases, slot_of_dst, row_ids, bin_rows: int):
-    """Native per-final-tile scan stream construction, v2 layout (see
-    kernels/stream.py _plan_scan). `bases` is each tile's 128-aligned
-    first row (rel = row - bases[f] must land in [0, bin_rows)).
-    Returns the stream dict pieces before routing: (cid, rel2, live,
-    src1c, src1p, src2e, src2p, valid2, first_idx, cmask, climit)."""
+    """Native per-final-tile scan stream construction, v3 exact-rank
+    layout (see kernels/stream.py _plan_scan). `bases` is each tile's
+    128-aligned first row (rel = row - bases[f] must land in
+    [0, bin_rows)). Returns the stream dict pieces before routing:
+    (perm_src, relid, src2e, src2p, valid2, counts)."""
     lib = _load()
     if lib is None:
         raise NotImplementedError("native library unavailable")
@@ -392,27 +392,19 @@ def plan_scan(k_starts, bases, slot_of_dst, row_ids, bin_rows: int):
     bases = np.ascontiguousarray(bases, np.int64)
     slot_of_dst = np.ascontiguousarray(slot_of_dst, np.int64)
     row_ids = np.ascontiguousarray(row_ids, np.int64)
-    cid = np.empty((F, TILE), np.int16)
-    rel2 = np.empty((F, TILE), np.int16)
-    live = np.empty((F, TILE), np.int8)
-    src1c = np.empty((F, 128, 128), np.int32)
-    src1p = np.empty((F, 128, 128), np.int32)
+    perm_src = np.empty((F, 128, 128), np.int32)
+    relid = np.empty((F, TILE), np.int16)
     src2e = np.empty((F, 128, 128), np.int32)
     src2p = np.empty((F, 128, 128), np.int32)
     valid2 = np.empty((F, P, 128), np.int8)
-    first_idx = np.zeros(F, np.int32)
-    cmask = np.zeros(F, np.int32)
-    climit = np.zeros(F, np.int32)
-    rc = lib.spmv_plan_scan2(
+    counts = np.zeros(F, np.int32)
+    rc = lib.spmv_plan_scan3(
         F, k_starts, bases, slot_of_dst.reshape(-1), row_ids, bin_rows,
-        cid.reshape(-1), rel2.reshape(-1), live.reshape(-1),
-        src1c.reshape(-1), src1p.reshape(-1), src2e.reshape(-1),
-        src2p.reshape(-1), valid2.reshape(-1),
-        first_idx, cmask, climit)
+        perm_src.reshape(-1), relid.reshape(-1), src2e.reshape(-1),
+        src2p.reshape(-1), valid2.reshape(-1), counts)
     if rc != 0:
         raise ValueError(_err(lib))
-    return (cid, rel2, live, src1c, src1p, src2e, src2p, valid2,
-            first_idx, cmask, climit)
+    return (perm_src, relid, src2e, src2p, valid2, counts)
 
 
 def spgemm_symbolic(n_rows: int, n_cols_b: int, Ap, Aj, Bp, Bj):

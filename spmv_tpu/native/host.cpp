@@ -934,170 +934,95 @@ int spmv_scatter_slots(int64_t n_fin, const int64_t* fin,
   return 0;
 }
 
-// Scan-stream planner v2: per-final-tile chunk/route stream
-// construction (mirror of the Python loop in kernels/stream.py
-// _plan_scan; see its docstring for the layout contract). One pass per
-// tile, all O(TILE). v2 vs the round-3 layout: the compact chunk
-// positions span the WHOLE tile (E <= 16383 instead of 8191, so
-// post-reduction tiles can be ~full), route 2 has separate END and
-// PREV source tiles (dest space = bin_rows = 16384 rel positions =
-// one full tile; absent rels masked by valid2), and a per-slot live
-// mask replaces cid as the junk test of the subtractive kernel.
+// Scan-stream planner v3: per-final-tile EXACT-RANK streams (mirror
+// of the Python loop in kernels/stream.py _plan_scan). One pass per
+// tile, all O(TILE). v3 vs v2: the kernel first routes the tile's
+// slots into exact rank order (positions 1..m, position 0 reserved as
+// a zero prefix), which makes rel ids MONOTONE in position — every
+// row is one contiguous run, so its total is S[e_r] - S[e_{r-1}] for
+// ONE tile-wide cumsum S, with e_r the row's last position. That
+// kills the chunk-id machinery, the C/P chunk routes and the second
+// cumsum: streams are one exact-perm route, END/PREV position routes
+// into the rel window, a rel-id fill (roll path only), valid2, and a
+// per-tile live count (the junk mask is just position < m+1).
 //
 // Inputs: k_starts (F+1), bases (F, per-tile 128-aligned first row;
 // rel = row - bases[f] must land in [0, bin_rows)), slot_of_dst
-// (F*16384, the shuffle's simulated placement), row_ids (n_items).
-// Outputs: cid/rel2 (F*16384 i16), live (F*16384 i8), route sources
-// src1c/src1p/src2e/src2p (F*16384 i32, -1 filled), valid2
-// (F*bin_rows i8, roll path only), first_idx/cmask/climit (F i32).
-int spmv_plan_scan2(int64_t F, const int64_t* k_starts, const int64_t* bases,
+// (F*16384), row_ids (n_items). Outputs: perm_src/src2e/src2p
+// (F*16384 i32, -1 filled), relid (F*16384 i16), valid2 (F*bin_rows
+// i8), counts (F i32).
+int spmv_plan_scan3(int64_t F, const int64_t* k_starts, const int64_t* bases,
                     const int64_t* slot_of_dst, const int64_t* row_ids,
                     int32_t bin_rows,
-                    int16_t* cid_s, int16_t* rel2_s, int8_t* live_s,
-                    int32_t* src1c, int32_t* src1p,
+                    int32_t* perm_src, int16_t* relid_s,
                     int32_t* src2e, int32_t* src2p,
-                    int8_t* valid2, int32_t* first_idx, int32_t* cmask,
-                    int32_t* climit) {
+                    int8_t* valid2, int32_t* counts) {
   const int T = 16384, L = 128;
   const int P = bin_rows / L;
   if (bin_rows > T) return fail("plan_scan: bin_rows exceeds tile");
-  std::memset(src1c, 0xFF, (size_t)F * T * sizeof(int32_t));
-  std::memset(src1p, 0xFF, (size_t)F * T * sizeof(int32_t));
+  std::memset(perm_src, 0xFF, (size_t)F * T * sizeof(int32_t));
   std::memset(src2e, 0xFF, (size_t)F * T * sizeof(int32_t));
   std::memset(src2p, 0xFF, (size_t)F * T * sizeof(int32_t));
   std::memset(valid2, 0, (size_t)F * (size_t)(P * L));
-  std::memset(live_s, 0, (size_t)F * T);
-  int32_t* pos2rank = (int32_t*)std::malloc(T * sizeof(int32_t));
-  int32_t* epos = (int32_t*)std::malloc((T + 1) * sizeof(int32_t));
-  int32_t* erel = (int32_t*)std::malloc((T + 1) * sizeof(int32_t));
-  int32_t* eorder = (int32_t*)std::malloc((T + 1) * sizeof(int32_t));
-  int32_t* relcnt = (int32_t*)std::malloc((bin_rows + 1) * sizeof(int32_t));
-  if (!pos2rank || !epos || !erel || !eorder || !relcnt) {
-    std::free(pos2rank); std::free(epos); std::free(erel);
-    std::free(eorder); std::free(relcnt);
-    return fail("plan_scan: out of memory");
-  }
+  int32_t* rank_slot = (int32_t*)std::malloc(T * sizeof(int32_t));
+  if (!rank_slot) return fail("plan_scan: out of memory");
   int rc = 0;
   for (int64_t f = 0; f < F && rc == 0; ++f) {
     int64_t a = k_starts[f], b = k_starts[f + 1];
     int64_t m = b - a;
-    if (m <= 0 || m > T) { rc = fail("plan_scan: bad tile size"); break; }
+    if (m <= 0 || m > T - 1) { rc = fail("plan_scan: bad tile size"); break; }
     const int64_t* sod = slot_of_dst + f * T;
     int64_t rel_base = bases[f];
-    std::memset(pos2rank, 0xFF, T * sizeof(int32_t));
     for (int64_t i = 0; i < m; ++i) {
-      int64_t s = sod[i] - f * T;
-      if (s < 0 || s >= T) {
+      int64_t sl = sod[i] - f * T;
+      if (sl < 0 || sl >= T) {
         rc = fail("plan_scan: shuffle placed a rank outside its tile");
         break;
       }
-      pos2rank[s] = (int32_t)i;
+      rank_slot[i] = (int32_t)sl;
     }
     if (rc != 0) break;
-    // slot-order walk: chunk ids, chunk ends, cid fill stream, live
-    int16_t* cid_t = cid_s + f * T;
-    int8_t* live_t = live_s + f * T;
-    int E = 0;
-    int32_t prev_rel = -1, last_cid = -1, prev_live_slot = -1;
-    for (int s = 0; s < T; ++s) {
-      int32_t i = pos2rank[s];
-      if (i < 0) {
-        cid_t[s] = (int16_t)((last_cid < 0 ? 0 : last_cid) + T);
-        continue;
-      }
-      live_t[s] = 1;
+    counts[f] = (int32_t)m;
+    int32_t* pp = perm_src + f * T;
+    int32_t* s2e = src2e + f * T;
+    int32_t* s2p = src2p + f * T;
+    int8_t* v2 = valid2 + f * (int64_t)(P * L);
+    int16_t* rl = relid_s + f * T;
+    int32_t prev_rel = -1, prev_end = 0;  // position 0 = zero prefix
+    int32_t rel0 = (int32_t)(row_ids[a] - rel_base);
+    rl[0] = (int16_t)(rel0 + T);
+    for (int64_t i = 0; i < m; ++i) {
       int32_t rel = (int32_t)(row_ids[a + i] - rel_base);
       if (rel < 0 || rel >= bin_rows) {
         rc = fail("plan_scan: rel out of bin range");
         break;
       }
-      if (last_cid < 0 || rel != prev_rel) {
-        if (last_cid >= 0) { epos[E - 1] = prev_live_slot; }
-        if (E >= T - 1) break;  // capacity; checked below
-        erel[E] = rel;
-        ++E;
-        ++last_cid;
+      if (rel < prev_rel) {
+        rc = fail("plan_scan: ranks not row-sorted within tile");
+        break;
       }
-      cid_t[s] = (int16_t)last_cid;
-      prev_rel = rel;
-      prev_live_slot = s;
+      int32_t p = (int32_t)(i + 1);
+      pp[p] = rank_slot[i];
+      rl[p] = (int16_t)rel;
+      if (rel != prev_rel) {
+        if (prev_rel >= 0) {
+          s2e[prev_rel] = p - 1;
+          s2p[prev_rel] = prev_end;
+          v2[prev_rel] = 1;
+          prev_end = p - 1;
+        }
+        prev_rel = rel;
+      }
     }
     if (rc != 0) break;
-    if (E + 1 > T - 1) {
-      std::snprintf(g_err, sizeof(g_err),
-                    "scan capacity: %d chunks in tile %lld exceed %d",
-                    E, (long long)f, T - 2);
-      rc = -1;
-      break;
-    }
-    epos[E - 1] = prev_live_slot;  // close the final chunk
-    // rel-sorted chunk order (stable counting sort over rel)
-    std::memset(relcnt, 0, (bin_rows + 1) * sizeof(int32_t));
-    for (int c = 0; c < E; ++c) relcnt[erel[c] + 1]++;
-    for (int r = 0; r < bin_rows; ++r) relcnt[r + 1] += relcnt[r];
-    for (int c = 0; c < E; ++c) eorder[relcnt[erel[c]]++] = c;
-    // compact layout stride (power of two, spread over the full tile)
-    int stride = 1;
-    while (stride * 2 * (E + 1) <= T - 1) stride *= 2;
-    cmask[f] = stride - 1;
-    climit[f] = 1 + E * stride;
-    int32_t* c1 = src1c + f * T;
-    int32_t* p1 = src1p + f * T;
-    int32_t* s2e = src2e + f * T;
-    int32_t* s2p = src2p + f * T;
-    int8_t* v2 = valid2 + f * (int64_t)(P * L);
-    int16_t* rel2_t = rel2_s + f * T;
-    for (int i = 0; i < E; ++i) {
-      int c = eorder[i];
-      int p = 1 + i * stride;
-      c1[p] = epos[c];
-      int pc = c > 0 ? c - 1 : 0;
-      p1[p] = epos[pc];
-      if (c == 0) first_idx[f] = p;
-    }
-    // route2 sources: per present rel, END = its last chunk's compact
-    // position, PREV = the previous present rel's; absent rels stay
-    // -1 (don't-care) and both kernels mask them via valid2
-    {
-      int prev_runpos = -1;  // p of the previous present rel's LAST chunk
-      int32_t run_rel = -1, run_lastp = -1;
-      for (int i = 0; i < E; ++i) {
-        int c = eorder[i];
-        int p = 1 + i * stride;
-        int32_t r = erel[c];
-        if (r != run_rel) {
-          if (run_rel >= 0) {
-            s2e[run_rel] = run_lastp;
-            s2p[run_rel] = prev_runpos < 0 ? 0 : prev_runpos;
-            v2[run_rel] = 1;
-            prev_runpos = run_lastp;
-          }
-          run_rel = r;
-        }
-        run_lastp = p;
-      }
-      if (run_rel >= 0) {
-        s2e[run_rel] = run_lastp;
-        s2p[run_rel] = prev_runpos < 0 ? 0 : prev_runpos;
-        v2[run_rel] = 1;
-      }
-      // rel2: value at each compact position, junk = fill-fwd + 16384
-      int32_t fillv = E ? erel[eorder[0]] : 0;
-      int ci = 0;
-      for (int s = 0; s < T; ++s) {
-        int in_compact = (ci < E) && (s == 1 + ci * stride);
-        if (in_compact) {
-          fillv = erel[eorder[ci]];
-          rel2_t[s] = (int16_t)fillv;
-          ++ci;
-        } else {
-          rel2_t[s] = (int16_t)(fillv + T);
-        }
-      }
-    }
+    s2e[prev_rel] = (int32_t)m;
+    s2p[prev_rel] = prev_end;
+    v2[prev_rel] = 1;
+    // junk tail: last rel + flag (bridges the roll path's segments)
+    for (int64_t p = m + 1; p < T; ++p)
+      rl[p] = (int16_t)(prev_rel + T);
   }
-  std::free(pos2rank); std::free(epos); std::free(erel);
-  std::free(eorder); std::free(relcnt);
+  std::free(rank_slot);
   return rc;
 }
 

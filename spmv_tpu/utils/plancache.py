@@ -29,8 +29,8 @@ import numpy as np
 
 from spmv_tpu.formats import CSR
 
-_FORMAT_VERSION = 6  # v6: scan-v2 streams (full-tile compact span,
-# separate end/prev route-2 tiles, live mask, fm packed into c3)
+_FORMAT_VERSION = 7  # v7: scan-v3 exact-rank streams (perm route +
+# end/prev prefix routes, per-tile counts) + ragged-concat merge pieces
 
 
 def plan_key(A: CSR, policy) -> str:
@@ -127,8 +127,11 @@ def load_plan(path: str):
 
     gather = {k[len("gather."):]: dput(z[k]) for k in z.files
               if k.startswith("gather.")}
-    scan = {k[len("scan."):]: dput(z[k]) for k in z.files
-            if k.startswith("scan.")}
+    # merge-piece arrays (scan.m_*) stay HOST-side: they are static
+    # trace-time structure for the ragged concat, not device streams
+    scan = {k[len("scan."):]: (np.asarray(z[k])
+                               if k.startswith("scan.m_") else dput(z[k]))
+            for k in z.files if k.startswith("scan.")}
     reduce = {k[len("reduce."):]: dput(z[k]) for k in z.files
               if k.startswith("reduce.")}
     for k, v in scalars.items():

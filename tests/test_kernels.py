@@ -35,7 +35,11 @@ DEVICE_KINDS = [
 ]
 
 
-def _check(A, kind, rtol=2e-5, atol=1e-5, seed=1):
+def _check(A, kind, rtol=2e-5, atol=5e-5, seed=1):
+    # atol: the stream kinds' MXU prefix-difference reduction has
+    # absolute error ~ eps_f32 * |running tile sum| ~ eps*sqrt(nnz_tile)
+    # * |v| (same reordering class as the reference's atomic fixup,
+    # ref: agent_segment_fixup.cuh); 5e-5 covers the 16K-slot tiles
     rng = np.random.default_rng(seed)
     x = rng.standard_normal(A.n_cols).astype(np.float32)
     y = np.asarray(spmv(kind, A, x))

@@ -25,7 +25,7 @@ def test_stream_plan_roundtrip(tmp_path):
     assert plan2.n_final_tiles == plan.n_final_tiles
     assert len(plan2.shuffle.passes) == len(plan.shuffle.passes)
     np.testing.assert_array_equal(
-        np.asarray(plan2.scan["cid"]), np.asarray(plan.scan["cid"]))
+        np.asarray(plan2.scan["relid"]), np.asarray(plan.scan["relid"]))
 
     y1 = np.asarray(st._stream_spmv(A, jnp.asarray(x),
                                     st.PLUS_TIMES, st.DEFAULT_POLICY))
