@@ -27,14 +27,14 @@ from typing import Optional
 # a one-time autotune recommendation (see policy_for) — no invented
 # per-generation entries presented as data.
 CHIP_TABLES = {
-    # measured on the attached v5e (autotune sweeps, rounds 3-4:
-    # kappa 12288 beat 14336 on the 3.3M-nnz power-law bench matrix).
-    # scan_sbt: the v4 scan's per-step footprint is ~2x round 3's
-    # (full-tile rel windows), so the measured round-3 scan_sbt=16 no
-    # longer fits scoped VMEM; 8 is the v4 default pending re-sweep.
-    "v5e": {4: {"kappa": 12288, "scan_sbt": 8},
-            8: {"kappa": 12288},
-            2: {"kappa": 12288, "scan_sbt": 8}},
+    # measured on the attached v5e (autotune sweep, round 4 on the
+    # scan-v3 pipeline: kappa 14336 0.245-0.251 ms vs 12288
+    # 0.257-0.281 ms on the 3.3M-nnz power-law bench matrix, repeated
+    # runs; scan_sbt 16 measured slower than 8 and 32 exceeds the
+    # padding granule)
+    "v5e": {4: {"kappa": 14336, "scan_sbt": 8},
+            8: {"kappa": 14336},
+            2: {"kappa": 14336, "scan_sbt": 8}},
     # cpu = interpret-mode tests; throughput is not meaningful there,
     # the row only pins plan geometry for reproducibility
     "cpu": {4: {"kappa": 12288}, 8: {"kappa": 12288}, 2: {"kappa": 12288}},
