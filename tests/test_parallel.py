@@ -184,3 +184,30 @@ def test_bootstrap_mesh_feeds_distribute():
     y = np.asarray(dist.matvec(x))
     np.testing.assert_allclose(y, spmv_ref(A, x, np.float64),
                                rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_dist_stream_matches_oracle(n_devices):
+    """The stream-pipeline fast path (parallel/dist_stream) matches
+    the oracle on a power-law matrix with hub-row cuts across shards
+    (VERDICT r3 item 4: the fast pipeline inside shard_map)."""
+    from spmv_tpu.parallel.dist_stream import distribute_stream
+
+    A = power_law_csr(20000, 20000, 150000, alpha=1.5, seed=7)
+    x = np.random.default_rng(3).standard_normal(20000).astype(np.float32)
+    D = distribute_stream(A, _mesh(n_devices))
+    y = np.asarray(D.matvec(x))
+    np.testing.assert_allclose(y, spmv_ref(A, x, np.float64),
+                               rtol=2e-4, atol=1e-4)
+    # comm stays halo-compact
+    assert D.comm_bytes_per_shard <= n_devices * D.plan.B * 4
+
+
+def test_dist_stream_semiring_guard():
+    from spmv_tpu.ops.semiring import MIN_PLUS
+    from spmv_tpu.parallel.dist_stream import distribute_stream
+
+    A = power_law_csr(5000, 5000, 40000, seed=1)
+    D = distribute_stream(A, _mesh(2))
+    with pytest.raises(ValueError):
+        D.matvec(np.ones(5000, np.float32), semiring=MIN_PLUS)
