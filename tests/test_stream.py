@@ -129,3 +129,19 @@ def test_stream_reduce_semiring_falls_back():
     y = np.asarray(spmv("stream", A, x, semiring=MIN_PLUS))
     y_ref = spmv_ref_semiring(A, x, MIN_PLUS)
     np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_banded_execution_matches_oracle(monkeypatch):
+    """Past the planner's reach the stream pipeline runs in row bands
+    (VERDICT r3 item 9); forced small bands exercise the cut +
+    concat + hub-row no-progress guard."""
+    from spmv_tpu.kernels import stream as st
+    from spmv_tpu.ops.semiring import PLUS_TIMES
+
+    monkeypatch.setattr(st, "BAND_NNZ", 40000)
+    A = power_law_csr(1 << 16, 1 << 16, 120000, alpha=1.5, seed=1)
+    x = np.random.default_rng(0).standard_normal(1 << 16).astype(np.float32)
+    y = np.asarray(st._stream_spmv(
+        A, x, PLUS_TIMES, st.StreamPolicy(kappa=4096)))
+    y_ref = spmv_ref(A, x, y_dtype=np.float64)
+    np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=1e-4)
