@@ -57,7 +57,7 @@ def main(write_md=True):
     ):
         x = rng.standard_normal(A.n_cols).astype(np.float32)
         best = None
-        for kind in ("csr_vector", "csr_vector_shfl"):
+        for kind in ("csr_vector", "csr_vector_shfl", "stream"):
             try:
                 r = time_kind(kind, A, x)
             except Exception as e:

@@ -25,6 +25,7 @@ Strategy map (reference kind → TPU-native kind):
 
 from spmv_tpu.kernels import baseline  # noqa: F401  (registers cpu_naive, xla, dense)
 from spmv_tpu.kernels import csr_vector  # noqa: F401
+from spmv_tpu.kernels import dia  # noqa: F401
 from spmv_tpu.kernels import light  # noqa: F401
 from spmv_tpu.kernels import merge  # noqa: F401
 from spmv_tpu.kernels import stream  # noqa: F401

@@ -65,6 +65,18 @@ def _csr_vector_fast(A: CSR, x, semiring: Semiring, scan_strategy: str,
     from spmv_tpu.kernels.stream import StreamPolicy, _stream_spmv
     from spmv_tpu.ops.tuning import dispatch_fields
 
+    # The csr-vector reference kind targets REGULAR matrices
+    # (ref: cusp.cuh:182-222, T picked from mean nnz/row). When the
+    # matrix is diagonal-sparse (banded/stencil), the TPU-right
+    # execution is the DIA elementwise kind — shifts, no gathers —
+    # which beats any routed pipeline by an order of magnitude there.
+    from spmv_tpu.kernels.dia import diag_profile
+    from spmv_tpu.ops.registry import plan_cache as _pc
+
+    if _pc(A, ("dia", "profile"), lambda: diag_profile(A)) is not None:
+        from spmv_tpu.kernels.dia import _dia
+
+        return _dia(A, x, semiring=semiring)
     if scan_strategy == "auto" and A.mean_nnz_per_row <= min_shfl_width:
         scan_strategy = "roll"  # narrow-row fallback, as the ref dispatcher
     try:

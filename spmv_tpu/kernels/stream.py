@@ -425,6 +425,7 @@ def _plan_gather_reduce(Aj: np.ndarray, row_ids: np.ndarray,
     red = {
         "src_route": src_route,
         "firstmask": firstmask,
+        "runstart": is_start.astype(np.int8),  # generic-ring reduce
         "part_rows": part_rows,
         "tile_of_part": t_i,
         "p_of_part": p_of,
@@ -611,6 +612,9 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
                 [red["firstmask"],
                  np.zeros((padn, REDUCE_MAX_RUNS // LANES, LANES),
                           np.int8)])
+            red["runstart"] = np.concatenate(
+                [red["runstart"],
+                 np.zeros((padn, LANES, LANES), np.int8)])
 
     # Final-tile capacity, region geometry and pass-1 quota are chosen
     # together: smaller matrices need emptier final tiles (smaller
@@ -637,6 +641,7 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         xb = xb[perm]
         red["src_route"] = red["src_route"][perm]
         red["firstmask"] = red["firstmask"][perm]
+        red["runstart"] = red["runstart"][perm]
         inv = np.empty_like(perm)
         inv[perm] = np.arange(pad_tiles)
         red["tile_of_part"] = inv[red["tile_of_part"]]
@@ -868,6 +873,7 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
             "c1": dput(c1.reshape(-1, LANES)),
             "c2": dput(c2.reshape(-1, LANES)),
             "c3": dput(c3.reshape(-1, LANES)),
+            "rs": dput(red["runstart"].reshape(-1, LANES)),
             "Qp": int(red["Qp"]),
             "out_rows": int(red["out_rows"]),
         }
@@ -1001,7 +1007,7 @@ def _gather_split_pass(x2d, ax, q, xb, s1, s2, s3, starts, pos, *,
 
 
 def _reduce_kernel(sbt: int, sr: Semiring, identity: float, Qp: int,
-                   x_vmem: bool):
+                   x_vmem: bool, generic: bool):
     """Fused gather + early row-reduction (pass 0 of the reduced
     pipeline). Products are formed in registers; one MXU lane-prefix
     matmul gives per-sublane running sums; the planned C route drops
@@ -1016,6 +1022,9 @@ def _reduce_kernel(sbt: int, sr: Semiring, identity: float, Qp: int,
 
     def kernel(xb_ref, ax_ref, q_ref, c1_ref, c2_ref, c3_ref, *rest):
         t = pl.program_id(0)
+        if generic:
+            rs_ref = rest[0]
+            rest = rest[1:]
         n_x = 1 if x_vmem else sbt
         xwins = rest[:n_x]
         out_ref = rest[n_x]
@@ -1028,30 +1037,48 @@ def _reduce_kernel(sbt: int, sr: Semiring, identity: float, Qp: int,
                 _xwin(xb_ref, xwins, x_vmem, t, j, sbt), qc, axis=1)
             prods.append(jnp.where(q >= 0, sr.combine(ax, xg), identity))
         v = jnp.concatenate(prods, axis=0)
-        li = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-        lj = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-        triu = (li <= lj).astype(v.dtype)
-        S = jax.lax.dot_general(
-            v, triu, (((1,), (0,)), ((), ())),
-            precision=_MM_PRECISION, preferred_element_type=v.dtype)
         c3v = c3_ref[...].astype(jnp.int32)
-        routed = route3_batched(S, c1_ref[...], c2_ref[...], c3v & 127)
-        C = jnp.concatenate(
-            [routed[j * LANES:j * LANES + HROWS] for j in range(sbt)],
-            axis=0)
-        rl = pltpu.roll(C, 1, 1)
-        # lane 0 takes the previous sublane's lane 127; the roll
-        # wrapping across tile blocks (and around row 0) only ever
-        # lands on p=0 slots, which are sublane-first runs -> masked
-        prev = jnp.where(lane_iota(C.shape) == 0, pltpu.roll(rl, 1, 0),
-                         rl)
-        # the sublane-first mask rides c3's high bit (VERDICT r3
-        # item 1: one fewer per-slot stream)
-        fm = jnp.concatenate(
-            [(c3v >> 7)[j * LANES:j * LANES + HROWS] for j in range(sbt)],
-            axis=0)
-        P = jnp.where(fm > 0, jnp.zeros_like(prev), prev)
-        part = C - P
+        if generic:
+            # generic semiring (no ring inverse): run totals by a
+            # SEGMENTED roll-scan over the lane-contiguous runs (ids =
+            # one exact MXU cumsum of the plan's run-start bits), then
+            # the same C route delivers each run-END value — which IS
+            # the run total, since the scan restarts per run. No P
+            # shift, no firstmask.
+            # ids count in f32 regardless of the value dtype (bf16
+            # would round the counts past 256)
+            ids = _flat_cumsum(
+                rs_ref[...].astype(jnp.float32)).astype(jnp.int32)
+            scan = segmented_scan_tile(v, ids, sr.reduce, identity)
+            routed = route3_batched(scan, c1_ref[...], c2_ref[...],
+                                    c3v & 127)
+            part = jnp.concatenate(
+                [routed[j * LANES:j * LANES + HROWS]
+                 for j in range(sbt)], axis=0)
+        else:
+            li = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+            lj = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+            triu = (li <= lj).astype(v.dtype)
+            S = jax.lax.dot_general(
+                v, triu, (((1,), (0,)), ((), ())),
+                precision=_MM_PRECISION, preferred_element_type=v.dtype)
+            routed = route3_batched(S, c1_ref[...], c2_ref[...],
+                                    c3v & 127)
+            C = jnp.concatenate(
+                [routed[j * LANES:j * LANES + HROWS] for j in range(sbt)],
+                axis=0)
+            rl = pltpu.roll(C, 1, 1)
+            # lane 0 takes the previous sublane's lane 127; the roll
+            # wrapping across tile blocks (and around row 0) only ever
+            # lands on p=0 slots, which are sublane-first runs -> masked
+            prev = jnp.where(lane_iota(C.shape) == 0,
+                             pltpu.roll(rl, 1, 0), rl)
+            # the sublane-first mask rides c3's high bit
+            fm = jnp.concatenate(
+                [(c3v >> 7)[j * LANES:j * LANES + HROWS]
+                 for j in range(sbt)], axis=0)
+            P = jnp.where(fm > 0, jnp.zeros_like(prev), prev)
+            part = C - P
         out_ref[...] = jnp.concatenate(
             [part[j * HROWS:j * HROWS + Qp] for j in range(sbt)], axis=0)
 
@@ -1060,8 +1087,8 @@ def _reduce_kernel(sbt: int, sr: Semiring, identity: float, Qp: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "sr", "sbt", "n_tiles", "Qp", "out_rows", "interpret"))
-def _reduce_pass(x2d, ax, q, xb, c1, c2, c3, *, sr: Semiring, sbt,
-                 n_tiles, Qp, out_rows, interpret):
+def _reduce_pass(x2d, ax, q, xb, c1, c2, c3, rs=None, *,
+                 sr: Semiring, sbt, n_tiles, Qp, out_rows, interpret):
     """Pass 0 of the reduced pipeline: (n_tiles) gather tiles in, a
     junk-padded (out_rows, 128) partial stream out (rows past
     n_tiles*Qp are never written; the downstream shuffle plans around
@@ -1069,27 +1096,33 @@ def _reduce_pass(x2d, ax, q, xb, c1, c2, c3, *, sr: Semiring, sbt,
     identity = float(sr.identity_for(ax.dtype))
     n_steps = n_tiles // sbt
     x_vmem, x_specs, x_args = _x_specs(x2d, sbt)
+    generic = not (sr.name == "plus_times" and ax.dtype == jnp.float32)
 
     def blk(rows):
         return pl.BlockSpec((rows, LANES), lambda t, xb: (t, 0))
 
+    aux = [xb, ax, q, c1, c2, c3]
+    n_aux = 5
+    if generic:
+        aux.append(rs)
+        n_aux += 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
         in_specs=(
-            [blk(sbt * LANES)] * 5
+            [blk(sbt * LANES)] * n_aux
             + x_specs
         ),
         out_specs=pl.BlockSpec((sbt * Qp, LANES), lambda t, xb: (t, 0)),
     )
     return pl.pallas_call(
-        _reduce_kernel(sbt, sr, identity, Qp, x_vmem),
+        _reduce_kernel(sbt, sr, identity, Qp, x_vmem, generic),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, LANES), ax.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(xb, ax, q, c1, c2, c3, *x_args)
+    )(*aux, *x_args)
 
 
 def _route3(v, s1_ref, s2_ref, s3_ref):
@@ -1430,14 +1463,10 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy,
         return jnp.full((A.n_rows,), ident, dtype=val_dtype)
     if band and A.nnz > BAND_NNZ:
         return _stream_spmv_banded(A, x, semiring, policy, BAND_NNZ)
-    # early reduction computes run totals as prefix DIFFERENCES — it
-    # needs the ring inverse and full-width floats (bf16 prefixes would
-    # lose the low bits the subtraction recovers)
-    if policy.reduce != "off" and not (
-            semiring.name == "plus_times"
-            and np.dtype(val_dtype) in (np.dtype(np.float32),
-                                        np.dtype(np.float64))):
-        policy = dataclasses.replace(policy, reduce="off")
+    # Early reduction applies to EVERY semiring since round 4: the
+    # plus_times/f32 kernel uses MXU prefix differences; any other
+    # ring (or width) runs the segmented roll-scan variant over the
+    # same plan (the run-start bits ship alongside the C route).
 
     # plan structure is independent of the scan strategy: key on the
     # structural fields only so roll/auto variants share one plan.
@@ -1478,6 +1507,7 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy,
         part = _reduce_pass(
             x2d, plan.gather["Ax"].astype(val_dtype), plan.gather["q"],
             plan.gather["xb"], rd["c1"], rd["c2"], rd["c3"],
+            rd.get("rs"),
             sr=semiring, sbt=8, n_tiles=plan.n_gather_tiles,
             Qp=rd["Qp"], out_rows=rd["out_rows"], interpret=interp)
         prod_fin = apply_shuffle(part, plan.shuffle, plan.shuffle_dev)
@@ -1530,7 +1560,12 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy,
         n_fix += 1
     y_flat = _merge_pieces(ycand, *fx, sr=semiring, pieces=pieces,
                            n_fix=n_fix)
-    return y_flat[: A.n_rows]
+    y = y_flat[: A.n_rows]
+    # the oracle's acc = initialize() participates in EVERY row
+    # (ref: cpu_navie.hpp:20-35): fold it in — it matters for rings
+    # whose identity is not absorbing under reduce over the actual
+    # data range (max_times with negative products, say)
+    return semiring.reduce(y, jnp.full_like(y, ident))
 
 
 def audit_plan(plan: StreamPlan, nnz: int, val_bytes: int = 4) -> dict:

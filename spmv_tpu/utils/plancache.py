@@ -29,7 +29,8 @@ import numpy as np
 
 from spmv_tpu.formats import CSR
 
-_FORMAT_VERSION = 7  # v7: scan-v3 exact-rank streams (perm route +
+_FORMAT_VERSION = 8  # v8: scan-v3 exact-rank streams + generic-ring
+# reduce run-start bits (perm route +
 # end/prev prefix routes, per-tile counts) + ragged-concat merge pieces
 
 

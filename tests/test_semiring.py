@@ -75,3 +75,22 @@ def test_unsupported_semiring_kind_raises():
     A = random_csr(10, 10, 20, seed=3)
     with pytest.raises(ValueError):
         spmv("dense", A, np.ones(10, np.float32), semiring=MIN_PLUS)
+
+
+def test_max_times_negative_products_folds_identity():
+    """max_times has identity 0: a row whose products are ALL negative
+    must come out 0 (the oracle's acc = initialize() participates in
+    every row, ref: cpu_navie.hpp:20-35). Regression: the stream
+    pipeline skipped the fold and returned the max negative product."""
+    from spmv_tpu import spmv
+    from spmv_tpu.io.generate import power_law_csr
+    from spmv_tpu.ops.reference import spmv_ref_semiring
+    from spmv_tpu.ops.semiring import MAX_TIMES
+
+    A = power_law_csr(1 << 13, 1 << 13, 30000, alpha=1.5, seed=1)
+    x = np.random.default_rng(0).standard_normal(1 << 13).astype(np.float32)
+    y_ref = np.asarray(spmv_ref_semiring(A, x, MAX_TIMES))
+    for kind in ("merge_genl", "stream"):
+        y = np.asarray(spmv(kind, A, x, semiring=MAX_TIMES))
+        np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=kind)
