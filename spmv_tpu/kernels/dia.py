@@ -72,7 +72,10 @@ def build_dia_plan(A: CSR, diags: np.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "diags", "n_rows"))
-def _dia_matvec(vals, valid, x, *, sr: Semiring, diags, n_rows):
+def _dia_matvec_xla(vals, valid, x, *, sr: Semiring, diags, n_rows):
+    """XLA fallback (any diagonal offsets): one shifted-slice pass per
+    diagonal. Re-reads the y accumulator per diagonal, so the Pallas
+    kernel below is ~3x leaner where its halo gate permits."""
     val_dtype = vals.dtype
     ident = sr.identity_for(np.dtype(val_dtype))
     lo = -min(min(diags), 0)
@@ -86,6 +89,98 @@ def _dia_matvec(vals, valid, x, *, sr: Semiring, diags, n_rows):
     return y
 
 
+LANES = 128
+BLK = 64          # y rows of (64, 128) per grid step = 8192 elements
+MAX_SHIFT = 8000  # |diagonal| the 3-block halo covers
+
+
+def _dia_kernel(sr: Semiring, identity: float, diags, D: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(vals_ref, valid_ref, x0_ref, x1_ref, x2_ref, out_ref):
+        X = jnp.concatenate([x0_ref[...], x1_ref[...], x2_ref[...]],
+                            axis=0)
+        li = jax.lax.broadcasted_iota(jnp.int32, (BLK, LANES), 1)
+        y = jnp.full((BLK, LANES), identity, out_ref.dtype)
+        for i, d in enumerate(diags):
+            # X covers x-space [block_start - BLK*LANES, +2*BLK*LANES)
+            s = d + BLK * LANES
+            q, m = divmod(s, LANES)
+            a1 = X[q:q + BLK, :]
+            if m == 0:
+                xs = a1
+            else:
+                a2 = X[q + 1:q + 1 + BLK, :]
+                xs = jnp.where(li < LANES - m,
+                               pltpu.roll(a1, LANES - m, 1),
+                               pltpu.roll(a2, LANES - m, 1))
+            vd = vals_ref[i * BLK:(i + 1) * BLK, :]
+            ok = valid_ref[i * BLK:(i + 1) * BLK, :].astype(jnp.int32)
+            t = jnp.where(ok > 0, sr.combine(vd, xs),
+                          jnp.full_like(y, identity))
+            y = sr.reduce(y, t)
+        out_ref[...] = y
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sr", "diags", "n_rows", "interpret"))
+def _dia_matvec_pallas(vals, valid, x, *, sr: Semiring, diags, n_rows,
+                       interpret):
+    """Fused DIA pass: per (64,128) y block, read the per-diagonal
+    value lanes + a 3-block x window (the ±MAX_SHIFT halo) and fold
+    every diagonal in registers — one read of vals/valid, ~3 reads of
+    x, one write of y."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    val_dtype = vals.dtype
+    identity = float(sr.identity_for(np.dtype(val_dtype)))
+    D = vals.shape[0]
+    lo = -min(min(diags), 0)
+    hi = max(max(diags), 0)
+    n_pad = -(-n_rows // (BLK * LANES)) * (BLK * LANES)
+    T = n_pad // (BLK * LANES)
+    # xp covers x-space [-BLK*LANES, n_pad + BLK*LANES): one zero
+    # block on each side so every diagonal's 3-block window is in
+    # bounds (junk values are masked by `valid`)
+    xp = jnp.pad(x.astype(val_dtype),
+                 (BLK * LANES, n_pad + BLK * LANES - n_rows))
+    xp2d = xp.reshape(-1, LANES)
+    # per-step diag-major blocks: step t's rows are
+    # [d0 rows t*BLK..t*BLK+BLK) ; d1 rows ...] (kernel indexes
+    # vals_ref[i*BLK + r])
+    vals_p = jnp.pad(vals, ((0, 0), (0, n_pad - n_rows))).reshape(
+        D, T, BLK, LANES)
+    valid_p = jnp.pad(valid, ((0, 0), (0, n_pad - n_rows))).reshape(
+        D, T, BLK, LANES)
+    vals_f = vals_p.transpose(1, 0, 2, 3).reshape(-1, LANES)
+    valid_f = valid_p.transpose(1, 0, 2, 3).reshape(-1, LANES)
+
+    grid_spec = pl.GridSpec(
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((D * BLK, LANES), lambda t: (t, 0)),
+            pl.BlockSpec((D * BLK, LANES), lambda t: (t, 0)),
+            pl.BlockSpec((BLK, LANES), lambda t: (t, 0)),
+            pl.BlockSpec((BLK, LANES), lambda t: (t + 1, 0)),
+            pl.BlockSpec((BLK, LANES), lambda t: (t + 2, 0)),
+        ],
+        out_specs=pl.BlockSpec((BLK, LANES), lambda t: (t, 0)),
+    )
+    del lo, hi
+    y = pl.pallas_call(
+        _dia_kernel(sr, identity, diags, D),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad // LANES, LANES),
+                                       val_dtype),
+        interpret=interpret,
+    )(vals_f, valid_f, xp2d, xp2d, xp2d)
+    return y.reshape(-1)[:n_rows]
+
+
 @register("dia", supports_semiring=True,
           reference_analog="(none — beyond-reference diagonal-format "
                            "specialization for regular matrices)")
@@ -93,6 +188,8 @@ def _dia(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
     """DIA SpMV for diagonal-sparse matrices; non-diagonal matrices
     fall back to the stream pipeline (so the kind is total, like the
     merge family's fallbacks)."""
+    from spmv_tpu import config
+
     prof = plan_cache(A, ("dia", "profile"), lambda: diag_profile(A))
     if prof is None:
         from spmv_tpu.kernels.stream import _stream_spmv
@@ -105,5 +202,9 @@ def _dia(A: CSR, x, *, semiring: Semiring = PLUS_TIMES):
         A, ("dia", "plan"), lambda: build_dia_plan(A, diags))
     x = jnp.asarray(x)
     val_dtype = resolve_val_dtype(A, x)
-    return _dia_matvec(vals.astype(val_dtype), valid, x,
-                       sr=semiring, diags=dtup, n_rows=A.n_rows)
+    if max(abs(d) for d in dtup) <= MAX_SHIFT:
+        return _dia_matvec_pallas(
+            vals.astype(val_dtype), valid, x, sr=semiring, diags=dtup,
+            n_rows=A.n_rows, interpret=config.use_interpret())
+    return _dia_matvec_xla(vals.astype(val_dtype), valid, x,
+                           sr=semiring, diags=dtup, n_rows=A.n_rows)
