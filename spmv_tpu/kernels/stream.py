@@ -824,6 +824,10 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
                 primary[b2] = r
             else:
                 extras[b2].append(r)
+    # uniform row-gather source (used instead of the ragged concat
+    # when the piece count would degenerate into per-tile slivers)
+    merge_src = np.where(primary >= 0, primary,
+                         F_pad * P).astype(np.int32)
     # maximal pieces: consecutive blocks with consecutive primary rows
     m_kind: list = []  # 0 = ycand slice, 1 = identity fill
     m_a: list = []     # slice start row (kind 0) or 0
@@ -888,6 +892,7 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         "m_kind": np.asarray(m_kind, np.int32),
         "m_a": np.asarray(m_a, np.int32),
         "m_len": np.asarray(m_len, np.int32),
+        "merge_src": jnp.asarray(merge_src),
         **{f"fx{d}_{h}": jnp.asarray(arr)
            for d, pair in enumerate(fix_levels)
            for h, arr in zip(("out", "src"), pair)},
@@ -1378,6 +1383,28 @@ def _scan_pass(prod_fin, relid, pm1, pm2, pm3,
     )(counts, *args)
 
 
+@functools.partial(jax.jit, static_argnames=("sr", "n_fix"))
+def _merge_gather(ycand, merge_src, *fix, sr: Semiring, n_fix: int):
+    """Row-gather merge for plans whose ragged concat would shatter
+    into per-tile slivers (short tiles: F comparable to the y block
+    count — XLA runs ~10 us per tiny dynamic-slice piece, which
+    measured 10x the whole pipeline at F=1280). One 128-lane row
+    gather (~136 GB/s) + the same distinct-row fixups."""
+    ident = sr.identity_for(ycand.dtype)
+    ycp = jnp.concatenate(
+        [ycand, jnp.full((1, LANES), ident, ycand.dtype)], axis=0)
+    y2d = jnp.take(ycp, merge_src, axis=0)
+    for d in range(n_fix):
+        out_i, src_i = fix[2 * d], fix[2 * d + 1]
+        upd = sr.reduce(jnp.take(y2d, out_i, axis=0),
+                        jnp.take(ycp, src_i, axis=0))
+        y2d = y2d.at[out_i].set(upd)
+    return y2d.reshape(-1)
+
+
+MERGE_PIECES_MAX = 256  # above this, _merge_gather wins
+
+
 @functools.partial(jax.jit, static_argnames=("sr", "pieces", "n_fix"))
 def _merge_pieces(ycand, *fix, sr: Semiring, pieces, n_fix: int):
     """Assemble y2d from per-tile y-candidate windows (v3).
@@ -1558,8 +1585,12 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy,
     while f"fx{n_fix}_out" in plan.scan:
         fx += [plan.scan[f"fx{n_fix}_out"], plan.scan[f"fx{n_fix}_src"]]
         n_fix += 1
-    y_flat = _merge_pieces(ycand, *fx, sr=semiring, pieces=pieces,
-                           n_fix=n_fix)
+    if len(pieces) > MERGE_PIECES_MAX:
+        y_flat = _merge_gather(ycand, plan.scan["merge_src"], *fx,
+                               sr=semiring, n_fix=n_fix)
+    else:
+        y_flat = _merge_pieces(ycand, *fx, sr=semiring, pieces=pieces,
+                               n_fix=n_fix)
     y = y_flat[: A.n_rows]
     # the oracle's acc = initialize() participates in EVERY row
     # (ref: cpu_navie.hpp:20-35): fold it in — it matters for rings

@@ -46,7 +46,6 @@ from spmv_tpu.kernels.shuffle import (
     TILE,
     plan_shuffle_auto,
     plan_shuffle_multi,
-    shuffle_device_arrays,
     _run_split,
 )
 from spmv_tpu.ops.registry import PlanCapacityError
@@ -395,16 +394,11 @@ def build_uniform_plans(A: CSR, plan: HaloPlan,
             fix_out[s, i] = b2
             fix_src[s, i] = r
 
-    from spmv_tpu.parallel.bootstrap import put_global
-
-    mesh_put = None  # filled by distribute_stream
-
     dev = {k: np.stack([shards[s][k] for s in range(n)])
            for k in shards[0]}
     dev["hot_cols"] = hot_stack
     dev["fix_out"] = fix_out
     dev["fix_src"] = fix_src
-    del mesh_put, put_global
     return UniformStreamPlans(
         n=n, pad_tiles=geom["pad_tiles"],
         x_rows_pad=geom["x_blocks_pad"] * LANES,

@@ -29,7 +29,7 @@ import numpy as np
 
 from spmv_tpu.formats import CSR
 
-_FORMAT_VERSION = 8  # v8: scan-v3 exact-rank streams + generic-ring
+_FORMAT_VERSION = 9  # v9: merge_src row-gather merge + generic-ring
 # reduce run-start bits (perm route +
 # end/prev prefix routes, per-tile counts) + ragged-concat merge pieces
 

@@ -62,19 +62,32 @@ def _device_loop(fn: Callable, x0: jax.Array, iters: int):
     every iteration in order and cannot hoist the SpMV out of the loop.
 
     Device arrays captured by `fn` (per-matrix plan arrays can be
-    hundreds of MB) are closure-converted into runtime arguments —
-    baked-in constants would blow up the remote compile request.
+    hundreds of MB) are hoisted into runtime arguments by re-playing
+    the traced jaxpr with its consts as inputs — baked-in constants
+    ship INSIDE the remote compile request (443 MB of route streams on
+    a 10M-nnz plan: HTTP 413). jax.closure_convert is not enough: it
+    only hoists inexact-dtype constants, and plan streams are ints.
     """
-    fn_conv, consts = jax.closure_convert(lambda v: fn(v), x0)
+    jpr = jax.make_jaxpr(lambda v: fn(v))(x0)
+    consts = [jnp.asarray(c) for c in jpr.consts]
+
+    def fn_conv(v, *cs):
+        return jax.core.eval_jaxpr(jpr.jaxpr, list(cs), v)
 
     def body(_, carry):
         x, acc, cs = carry
         y = fn_conv(x, *cs)
         y = jax.tree_util.tree_leaves(y)[0]
-        acc = acc + y.reshape(-1)[0].astype(jnp.float32)
+        # sanitize the probe: semiring identities are legitimately
+        # +-inf (min_plus empty rows), and an inf checksum would trip
+        # the finite guard and silently demote the measurement to the
+        # dispatch-dominated async fallback
+        v = y.reshape(-1)[0].astype(jnp.float32)
+        v = jnp.where(jnp.isfinite(v), v, 1.0)
+        acc = acc + v
         # Runtime-false (acc is finite), compile-time-unknown select:
         # keeps x numerically constant while forcing the dependency.
-        taint = jnp.where(jnp.isnan(acc), y.reshape(-1)[0].astype(x.dtype), 0)
+        taint = jnp.where(jnp.isnan(acc), v.astype(x.dtype), 0)
         x = x.at[0].add(taint)
         return x, acc, cs
 
@@ -127,13 +140,21 @@ def benchmark_fn(fn: Callable, x0, iters: int = 50, warmup: bool = True):
             float(run_hi(x0))
         t_lo = _best(run_lo)
         t_hi = _best(run_hi)
-        if t_hi - t_lo <= 0.05 * t_hi:
-            # degenerate slope (tunnel jitter swallowed the long run);
-            # one retry, then fall back to the conservative upper bound
-            t_lo2, t_hi2 = _best(run_lo), _best(run_hi)
-            t_lo, t_hi = min(t_lo, t_lo2), min(t_hi, t_hi2)
-            if t_hi - t_lo <= 0.05 * t_hi:
-                t_lo, lo = 0.0, 0  # kernel_s = t_hi / iters
+        # Degenerate slope = the chained device time is inside the
+        # ~tens-of-ms tunnel dispatch jitter (very fast kernels, or a
+        # noisy epoch). GROW the chain until the difference resolves —
+        # the dispatch fixed cost cancels between the two lengths,
+        # unlike any t/iters fallback, which smears the round-trip
+        # into the per-iteration number (measured: a 0.75 ms kernel
+        # reported as 12 ms, a 0.07 ms kernel as 0.0000).
+        tries = 0
+        while t_hi - t_lo <= 0.05 * t_hi and tries < 4:
+            lo, t_lo = iters, t_hi
+            iters *= 4
+            run_hi = _device_loop(fn, x0, iters)
+            float(run_hi(x0))
+            t_hi = _best(run_hi)
+            tries += 1
     except Exception:
         # Large pipelines can exceed the remote runtime's single-program
         # limits; fall back to python-level ASYNC chaining — dispatches
