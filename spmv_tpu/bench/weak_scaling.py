@@ -23,13 +23,15 @@ import numpy as np
 
 
 def run(n_devices: int, rows_per_dev: int, nnz_per_dev: int,
-        iters: int, mode: str = "halo", seed: int = 0):
+        iters: int, mode: str = "halo", seed: int = 0,
+        impl: str = "stream"):
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh
 
     from spmv_tpu.io.generate import power_law_csr
-    from spmv_tpu.parallel import distribute_csr
+    from spmv_tpu.ops.registry import PlanCapacityError
+    from spmv_tpu.parallel import distribute_csr, distribute_stream
 
     devs = jax.devices()
     if len(devs) < n_devices:
@@ -39,16 +41,28 @@ def run(n_devices: int, rows_per_dev: int, nnz_per_dev: int,
     A = power_law_csr(n, n, nnz_per_dev * n_devices, alpha=1.5, seed=seed)
     x = np.random.default_rng(seed).standard_normal(n).astype(np.float32)
 
-    dist = distribute_csr(A, mesh)
+    dist = None
+    if impl == "stream":
+        # the per-chip stream-pipeline fast path (round 4); shards too
+        # small/sparse for its planner fall back to the ELL path
+        try:
+            dist = distribute_stream(A, mesh)
+            matvec = lambda xv: dist.matvec(xv)
+        except PlanCapacityError as e:
+            print(f"n={n_devices}: stream infeasible ({e}); ELL path",
+                  file=sys.stderr)
+    if dist is None:
+        dist = distribute_csr(A, mesh)
+        matvec = lambda xv: dist.matvec(xv, mode=mode)
     xs = dist.shard_x(x)
-    y = dist.matvec(xs, mode=mode)
+    y = matvec(xs)
     jax.block_until_ready(y)  # compile + settle
 
     def loop(k):
         t0 = time.perf_counter()
         yy = xs
         for _ in range(k):
-            yy = dist.matvec(xs, mode=mode)
+            yy = matvec(xs)
         jax.block_until_ready(yy)
         return time.perf_counter() - t0
 
@@ -81,13 +95,16 @@ def main(argv=None):
     p.add_argument("--devices", type=int, nargs="*", default=[1, 2, 4, 8])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--mode", choices=["halo", "allgather"], default="halo")
+    p.add_argument("--impl", choices=["stream", "ell"], default="stream",
+                   help="per-chip compute: the stream-pipeline fast "
+                        "path (default) or the ELL path")
     args = p.parse_args(argv)
 
     results = []
     base = None
     for n in args.devices:
         r = run(n, args.rows_per_dev, args.nnz_per_dev, args.iters,
-                mode=args.mode)
+                mode=args.mode, impl=args.impl)
         if r is None:
             print(f"n={n}: not enough devices, skipping", file=sys.stderr)
             continue

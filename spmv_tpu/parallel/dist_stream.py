@@ -425,6 +425,10 @@ class DistributedStreamSpMV:
     def comm_bytes_per_shard(self) -> int:
         return self.plan.comm_bytes_per_shard
 
+    @property
+    def allgather_bytes_per_shard(self) -> int:
+        return self.plan.allgather_bytes_per_shard
+
     def shard_x(self, x) -> jax.Array:
         from spmv_tpu.parallel.bootstrap import put_global
 
