@@ -84,7 +84,10 @@ def _csr_vector_fast(A: CSR, x, semiring: Semiring, scan_strategy: str,
             A, x, semiring,
             StreamPolicy(kappa=12288, scan_strategy=scan_strategy,
                          **dispatch_fields()))
-    except PlanCapacityError:
+    except PlanCapacityError as e:
+        from spmv_tpu.ops.registry import warn_fallback
+
+        warn_fallback("csr_vector", "ELL", e)
         return _csr_vector_ell_impl(A, x, semiring, ell_strategy,
                                     min_shfl_width)
 

@@ -111,7 +111,10 @@ def _light_fast(A: CSR, x, semiring: Semiring, table, widths, key: str):
     try:
         return _stream_spmv(A, x, semiring,
                             StreamPolicy(kappa=kappa, **dispatch_fields()))
-    except PlanCapacityError:
+    except PlanCapacityError as e:
+        from spmv_tpu.ops.registry import warn_fallback
+
+        warn_fallback(key, "ELL", e)
         return _light_ell_impl(A, x, semiring, widths, key)
 
 

@@ -394,7 +394,10 @@ def _merge_fast(A: CSR, x, semiring: Semiring, kappa: int,
 
     try:
         return _stream_spmv(A, x, semiring, _stream_policy_for(kappa))
-    except PlanCapacityError:
+    except PlanCapacityError as e:
+        from spmv_tpu.ops.registry import warn_fallback
+
+        warn_fallback("merge", "tiled", e)
         return _merge_impl(A, x, semiring, tiled_policy)
 
 

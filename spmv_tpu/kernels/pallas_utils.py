@@ -106,6 +106,29 @@ def segmented_scan_tile(v, seg, reduce_fn, identity):
     return v
 
 
+def segmented_scan_lanes(v, head, reduce_fn):
+    """Inclusive segmented scan ALONG LANES only (no cross-sublane
+    carry), flag-based (Blelloch): `head` (int, same shape) is 1 at
+    each segment's first lane. Each sublane scans independently.
+
+    7 log-steps of roll+select — no segment-id materialization and no
+    sublane carry phase. Correct whenever segments never span sublanes
+    (the early-reduction run layout guarantees this: every sublane's
+    first live lane starts a run, _plan_gather_reduce)."""
+    lanes = lane_iota(v.shape)
+    f = head.astype(jnp.int32)
+    d = 1
+    while d < LANES:
+        sv = pltpu.roll(v, d, 1)
+        sf = pltpu.roll(f, d, 1)
+        in_range = lanes >= d
+        ok = in_range & (f == 0)
+        v = jnp.where(ok, reduce_fn(sv, v), v)
+        f = jnp.where(in_range, f | sf, f)
+        d *= 2
+    return v
+
+
 def unsegmented_scan_tile(v, add_fn=None):
     """Inclusive scan (cumsum-style) over a (S, 128) tile, row-major.
 

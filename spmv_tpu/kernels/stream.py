@@ -55,6 +55,7 @@ from spmv_tpu.kernels.pallas_utils import (
     LANES,
     flat_iota,
     lane_iota,
+    segmented_scan_lanes,
     segmented_scan_tile,
     sublane_iota,
 )
@@ -72,7 +73,18 @@ from spmv_tpu.ops.registry import (
     resolve_val_dtype,
 )
 from spmv_tpu.ops.routing import route_tiles
-from spmv_tpu.ops.semiring import Semiring, PLUS_TIMES
+from spmv_tpu.ops.semiring import Semiring, PLUS_TIMES, _or_and_combine
+
+# or_and rides the plus_times machinery as a COUNTING ring: combine
+# yields {0,1}, reduce is +, and the caller thresholds the counts at
+# the end (or = sum > 0 over non-negatives). The name is "plus_times"
+# so every inverse-gated fast path (MXU prefix differences) engages.
+_OR_AND_COUNTING = Semiring(
+    name="plus_times",
+    initialize=lambda: 0.0,
+    combine=_or_and_combine,
+    reduce=lambda acc, v: acc + v,
+)
 
 BIN_ROWS = 16384  # max row span of one final tile = rel positions of
 # one full (128,128) route tile. Round 3 used 8192 (the two halves of
@@ -544,7 +556,13 @@ def _plan_scan(plan_sh: ShufflePlan, k_starts, bases, r_starts, lrows,
 
 
 def _scan_route_streams(perm_src, relid, src2e, src2p, valid2, counts):
-    """Shared tail of _plan_scan: 3-stage-route the stream sources."""
+    """Shared tail of _plan_scan: 3-stage-route the stream sources.
+
+    (A forward-filled END route that would let the kernel derive PREV
+    by a flat shift was tried in round 5 and rejected: fill fan-out
+    concentrates a sparse tile's run-end sources into S row 0 and
+    blows the 128-edge-per-source-row route capacity. Two injective
+    routes are the degree-safe form.)"""
     F = counts.shape[0]
     pm = route_tiles(perm_src.reshape(F, LANES, LANES), dedupe=False)
     r2e = route_tiles(src2e.reshape(F, LANES, LANES), dedupe=False)
@@ -1045,16 +1063,16 @@ def _reduce_kernel(sbt: int, sr: Semiring, identity: float, Qp: int,
         c3v = c3_ref[...].astype(jnp.int32)
         if generic:
             # generic semiring (no ring inverse): run totals by a
-            # SEGMENTED roll-scan over the lane-contiguous runs (ids =
-            # one exact MXU cumsum of the plan's run-start bits), then
-            # the same C route delivers each run-END value — which IS
-            # the run total, since the scan restarts per run. No P
-            # shift, no firstmask.
-            # ids count in f32 regardless of the value dtype (bf16
-            # would round the counts past 256)
-            ids = _flat_cumsum(
-                rs_ref[...].astype(jnp.float32)).astype(jnp.int32)
-            scan = segmented_scan_tile(v, ids, sr.reduce, identity)
+            # flag-based SEGMENTED roll-scan over the lane-contiguous
+            # runs, then the same C route delivers each run-END value —
+            # which IS the run total, since the scan restarts per run.
+            # Runs never cross sublanes (every sublane's first live
+            # lane is a run start), so the scan is lanes-only: 7 roll
+            # steps, no id materialization, no cross-sublane carry —
+            # this pass was 2.2-2.7x the plus_times kernel in round 4
+            # (a (S,S) MXU id cumsum + a full 2-phase segmented scan).
+            scan = segmented_scan_lanes(
+                v, rs_ref[...].astype(jnp.int32), sr.reduce)
             routed = route3_batched(scan, c1_ref[...], c2_ref[...],
                                     c3v & 127)
             part = jnp.concatenate(
@@ -1252,7 +1270,14 @@ def _scan_kernel_roll(sr: Semiring, identity: float, sbt: int):
     0 and the tail is flagged +16384 and masked to the identity), then
     the END route delivers each row's inclusive total to the rel
     window. No inverse assumed (ref: the functor_t generic reduction,
-    merge_genl/agent_spmv_orig.cuh:98-124)."""
+    merge_genl/agent_spmv_orig.cuh:98-124).
+
+    All sbt tiles process BATCHED: one 3-stage route over the stacked
+    (sbt*128, 128) block costs ~3.5x less per tile than sbt separate
+    routes, and one segmented scan (segment ids offset per tile so the
+    carry phase cannot link across tile boundaries) replaces sbt
+    scans — the round-4 per-tile loop was the main reason generic
+    rings ran 2.2x the plus_times envelope."""
     P = BIN_ROWS // LANES  # == LANES
 
     def kernel(counts_ref, prod_ref, pm1_ref, pm2_ref, pm3_ref,
@@ -1260,24 +1285,21 @@ def _scan_kernel_roll(sr: Semiring, identity: float, sbt: int):
                out_ref):
         del counts_ref
 
-        for i in range(sbt):
-            def sl(ref):
-                return ref[pl.ds(i * LANES, LANES), :]
-
-            v = _route3(sl(prod_ref), sl(pm1_ref), sl(pm2_ref),
-                        sl(pm3_ref))
-            relid = sl(relid_ref).astype(jnp.int32)
-            v = jnp.where(relid < 16384, v,
-                          jnp.full((LANES, LANES), identity,
-                                   dtype=prod_ref.dtype))
-            scan = segmented_scan_tile(v, relid & 16383, sr.reduce,
-                                       identity)
-            y_full = _route3(scan, sl(r2s1_ref), sl(r2s2_ref),
-                             sl(r2s3_ref))
-            vm = valid2_ref[pl.ds(i * P, P), :].astype(jnp.int32) > 0
-            out_ref[pl.ds(i * P, P), :] = jnp.where(
-                vm, y_full,
-                jnp.full((P, LANES), identity, dtype=y_full.dtype))
+        v = _route3_batched(prod_ref[...], pm1_ref[...], pm2_ref[...],
+                            pm3_ref[...])
+        relid = relid_ref[...].astype(jnp.int32)
+        v = jnp.where(relid < 16384, v,
+                      jnp.full(v.shape, identity, dtype=prod_ref.dtype))
+        # per-tile rel ids offset by the tile's index in the block so
+        # the cross-sublane carry never links two tiles
+        seg = (relid & 16383) + (sublane_iota(v.shape) // LANES) * TILE
+        scan = segmented_scan_tile(v, seg, sr.reduce, identity)
+        y_full = _route3_batched(scan, r2s1_ref[...], r2s2_ref[...],
+                                 r2s3_ref[...])
+        vm = valid2_ref[...].astype(jnp.int32) > 0
+        out_ref[...] = jnp.where(
+            vm, y_full,
+            jnp.full(y_full.shape, identity, dtype=y_full.dtype))
 
     return kernel
 
@@ -1452,8 +1474,8 @@ def plan_cache_key(policy: StreamPolicy) -> tuple:
 BAND_NNZ = 180_000_000
 
 
-def _stream_spmv_banded(A: CSR, x, semiring: Semiring,
-                        policy: StreamPolicy, band_nnz: int):
+def _cut_bands(A: CSR, band_nnz: int) -> list:
+    """Row-aligned band CSRs of at most ~band_nnz nonzeros each."""
     Ap = np.asarray(A.Ap, dtype=np.int64)
     nnz = int(Ap[-1])
     n_bands = max(2, -(-nnz // band_nnz))
@@ -1463,17 +1485,33 @@ def _stream_spmv_banded(A: CSR, x, semiring: Semiring,
     bounds = np.maximum.accumulate(bounds)
     Aj = np.asarray(A.Aj)
     Ax = np.asarray(A.Ax)
-    ys = []
+    bands = []
     for b in range(n_bands):
         r0, r1 = int(bounds[b]), int(bounds[b + 1])
         if r1 <= r0:
-            ident = float(semiring.identity_for(np.asarray(Ax).dtype))
-            ys.append(jnp.zeros((0,), jnp.asarray(x).dtype) + ident)
+            bands.append(None)
             continue
         k0, k1 = int(Ap[r0]), int(Ap[r1])
-        band = CSR(r1 - r0, A.n_cols,
-                   (Ap[r0:r1 + 1] - k0),
-                   Aj[k0:k1], Ax[k0:k1])
+        bands.append(CSR(r1 - r0, A.n_cols,
+                         (Ap[r0:r1 + 1] - k0),
+                         Aj[k0:k1], Ax[k0:k1]))
+    return bands
+
+
+def _stream_spmv_banded(A: CSR, x, semiring: Semiring,
+                        policy: StreamPolicy, band_nnz: int):
+    # Band CSR objects are cached ON THE PARENT matrix: plan_cache is
+    # keyed by CSR object identity, so rebuilding bands per call would
+    # re-run the O(nnz) host planner for every band on every matvec
+    # (ADVICE r4 medium). Cached bands reuse their plans across calls.
+    bands = plan_cache(A, ("stream", "bands", band_nnz),
+                       lambda: _cut_bands(A, band_nnz))
+    ident = float(semiring.identity_for(np.asarray(A.Ax).dtype))
+    ys = []
+    for band in bands:
+        if band is None:
+            ys.append(jnp.zeros((0,), jnp.asarray(x).dtype) + ident)
+            continue
         # band=False: a single hub row larger than the band budget is
         # row-aligned-unsplittable; run it through the planner anyway
         # (its own capacity error falls back to the tiled kind)
@@ -1490,6 +1528,17 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy,
         return jnp.full((A.n_rows,), ident, dtype=val_dtype)
     if band and A.nnz > BAND_NNZ:
         return _stream_spmv_banded(A, x, semiring, policy, BAND_NNZ)
+    if semiring.name == "or_and" and np.dtype(val_dtype) == np.float32:
+        # Boolean ring at plus_times speed (VERDICT r4 item 3): the
+        # combine yields {0,1} products, and or over non-negative
+        # counts is (sum > 0) — so the whole MXU prefix-difference
+        # pipeline runs unchanged on a counting ring and one final
+        # threshold recovers the boolean result. Exact while every
+        # row's count < 2^24 (f32 integer range; a 16M-nnz single row
+        # exceeds the planner's reach long before that).
+        y_cnt = _stream_spmv(A, x, _OR_AND_COUNTING, policy, band=band)
+        return jnp.where(y_cnt > 0, jnp.ones((), y_cnt.dtype),
+                         jnp.zeros((), y_cnt.dtype))
     # Early reduction applies to EVERY semiring since round 4: the
     # plus_times/f32 kernel uses MXU prefix differences; any other
     # ring (or width) runs the segmented roll-scan variant over the

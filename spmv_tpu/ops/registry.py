@@ -37,6 +37,22 @@ class PlanCapacityError(ValueError):
     user errors (bad shapes/dtypes), which raise plain ValueError."""
 
 
+class FallbackWarning(UserWarning):
+    """A planned fast path could not serve this matrix and a direct
+    (slower) kernel ran instead. Silenceable via the warnings module;
+    emitted so the 10-100x tier change is never invisible
+    (VERDICT r4 item 2)."""
+
+
+def warn_fallback(kind: str, to: str, err: Exception) -> None:
+    import warnings
+
+    warnings.warn(
+        f"spmv kind {kind!r}: planned fast path unavailable "
+        f"({err}); falling back to the direct {to} kernel "
+        f"(typically 10-100x slower)", FallbackWarning, stacklevel=3)
+
+
 def resolve_val_dtype(A: CSR, x) -> np.dtype:
     """Compute dtype of the product stream: result_type(Ax, x).
 

@@ -18,8 +18,10 @@ every per-shard plan array along a leading shard axis. The per-shard
 ragged-concat y assembly is replaced by a uniform row-gather (its
 merge sources are data, not trace structure).
 
-Scope: plus_times / f32 (the perf path). Other semirings and planner
-overflows fall back to the ELL path in parallel/dist_spmv.py.
+Scope: every semiring — plus_times/f32 rides the MXU prefix-difference
+kernels; other rings/widths run the segmented roll-scan variants of
+the same plan (the run-start stream ships with every uniform plan).
+Planner overflows fall back to the ELL path in parallel/dist_spmv.py.
 
 Reference analog: none — the reference is single-GPU (SURVEY §2); this
 is the NEW multi-chip layer, with the GPU texture-cache x-gather
@@ -126,6 +128,9 @@ def _build_one(A: CSR, policy, F_common=None, levels=None, Qp=None,
             [red["firstmask"],
              np.zeros((padn, st.REDUCE_MAX_RUNS // LANES, LANES),
                       np.int8)])
+        red["runstart"] = np.concatenate(
+            [red["runstart"],
+             np.zeros((padn, LANES, LANES), np.int8)])
     pad_tiles = want_tiles
 
     # deal tiles round-robin by partial count (as build_stream_plan)
@@ -141,6 +146,7 @@ def _build_one(A: CSR, policy, F_common=None, levels=None, Qp=None,
     xb = xb[perm]
     red["src_route"] = red["src_route"][perm]
     red["firstmask"] = red["firstmask"][perm]
+    red["runstart"] = red["runstart"][perm]
     inv = np.empty_like(perm)
     inv[perm] = np.arange(pad_tiles)
     red["tile_of_part"] = inv[red["tile_of_part"]]
@@ -272,6 +278,9 @@ def _build_one(A: CSR, policy, F_common=None, levels=None, Qp=None,
         "xb": xb,
         "c1": c1.reshape(-1, LANES), "c2": c2.reshape(-1, LANES),
         "c3": c3.reshape(-1, LANES),
+        # run-start bits for the generic-semiring reduce pass (the
+        # roll-scan variant; plus_times/f32 ignores them)
+        "rs": red["runstart"].reshape(-1, LANES),
         "merge_src": merge_src,
         **{f"scan_{k}": (scan[k].reshape(-1, LANES)
                          if scan[k].ndim > 1 else scan[k])
@@ -384,15 +393,34 @@ def build_uniform_plans(A: CSR, plan: HaloPlan,
         if hc.size:
             hot_stack[s, :hc.size] = hc.astype(np.int32)
 
-    # common fixup count
-    n_fix = max(max(len(e) for e in extras), 0)
-    NBY = shards[0]["merge_src"].shape[0]
-    fix_out = np.full((n, max(n_fix, 1)), NBY, np.int32)  # oob = drop
-    fix_src = np.zeros((n, max(n_fix, 1)), np.int32)
+    # Fixups grouped BY DEPTH per y block (as stream.py's fix_levels):
+    # a flat scatter computes every update from the OLD y2d, so two
+    # extras hitting the same 128-row block would silently drop all but
+    # one contribution (ADVICE r4 high). One scatter per depth keeps
+    # indices within each scatter distinct; depths apply sequentially.
+    per_depth: list = []  # per shard: list of depth -> [(b2, r)]
     for s in range(n):
-        for i, (b2, r) in enumerate(extras[s]):
-            fix_out[s, i] = b2
-            fix_src[s, i] = r
+        seen: dict = {}
+        levels: list = []
+        for b2, r in extras[s]:
+            dpt = seen.get(b2, 0)
+            seen[b2] = dpt + 1
+            if dpt == len(levels):
+                levels.append([])
+            levels[dpt].append((b2, r))
+        per_depth.append(levels)
+    n_depth = max((len(lv) for lv in per_depth), default=0)
+    n_fix = max((max((len(d) for d in lv), default=0)
+                 for lv in per_depth), default=0)
+    NBY = shards[0]["merge_src"].shape[0]
+    fix_out = np.full((n, max(n_depth, 1), max(n_fix, 1)), NBY,
+                      np.int32)  # oob = drop
+    fix_src = np.zeros((n, max(n_depth, 1), max(n_fix, 1)), np.int32)
+    for s in range(n):
+        for dpt, lvl in enumerate(per_depth[s]):
+            for i, (b2, r) in enumerate(lvl):
+                fix_out[s, dpt, i] = b2
+                fix_src[s, dpt, i] = r
 
     dev = {k: np.stack([shards[s][k] for s in range(n)])
            for k in shards[0]}
@@ -409,7 +437,8 @@ def build_uniform_plans(A: CSR, plan: HaloPlan,
 
 @dataclasses.dataclass
 class DistributedStreamSpMV:
-    """Stream-pipeline distributed SpMV (plus_times/f32 fast path)."""
+    """Stream-pipeline distributed SpMV (any semiring; plus_times/f32
+    takes the MXU prefix-difference fast kernels)."""
 
     mesh: Mesh
     axis: str
@@ -437,10 +466,6 @@ class DistributedStreamSpMV:
         return put_global(xp, NamedSharding(self.mesh, P(self.axis)))
 
     def matvec(self, x, semiring: Semiring = PLUS_TIMES) -> jax.Array:
-        if semiring.name != "plus_times":
-            raise ValueError(
-                "dist_stream is the plus_times fast path; use "
-                "distribute_csr(...) for general semirings")
         x = jnp.asarray(x)
         if x.shape[0] == self.n_cols and self.n_cols != self.x_pad:
             x = self.shard_x(x)
@@ -456,7 +481,7 @@ class DistributedStreamSpMV:
             B=self.plan.B, n_tiles=u.pad_tiles,
             x_rows_pad=u.x_rows_pad, n_aug=u.n_aug, Qp=u.Qp,
             out_rows=u.out_rows, F_pad=u.F_pad, split_meta=meta,
-            owned=owned,
+            owned=owned, sr=semiring,
             interpret=config.use_interpret(),
             export_meta=(tuple(int(r) for r in self.plan.export_rows),
                          bool(self.plan.export_flag.any())),
@@ -465,16 +490,16 @@ class DistributedStreamSpMV:
 
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "axis", "R", "B", "n_tiles", "x_rows_pad", "n_aug", "Qp",
-    "out_rows", "F_pad", "split_meta", "owned", "interpret",
+    "out_rows", "F_pad", "split_meta", "owned", "sr", "interpret",
     "export_meta"))
 def _dist_stream_matvec(dev, x, *, mesh, axis, R, B,
                         n_tiles, x_rows_pad, n_aug, Qp, out_rows,
-                        F_pad, split_meta, owned, interpret,
+                        F_pad, split_meta, owned, sr, interpret,
                         export_meta):
     n = mesh.shape[axis]
-    sr = PLUS_TIMES
     export_rows, any_export = export_meta
-    identity = 0.0
+    val_dtype = dev["Ax"].dtype
+    identity = float(sr.identity_for(np.dtype(val_dtype)))
 
     def local(d, x_l):
         xl = x_l[0] if x_l.ndim > 1 else x_l
@@ -499,7 +524,7 @@ def _dist_stream_matvec(dev, x, *, mesh, axis, R, B,
 
         part = st._reduce_pass(
             x2d, d["Ax"][0], d["q"][0], d["xb"][0],
-            d["c1"][0], d["c2"][0], d["c3"][0],
+            d["c1"][0], d["c2"][0], d["c3"][0], d["rs"][0],
             sr=sr, sbt=8, n_tiles=n_tiles, Qp=Qp, out_rows=out_rows,
             interpret=interpret)
         cur = part
@@ -523,13 +548,19 @@ def _dist_stream_matvec(dev, x, *, mesh, axis, R, B,
         # uniform merge: row-gather by merge_src (+ identity pad row),
         # then the rare extra contributors as oob-droppable fixups
         ycp = jnp.concatenate(
-            [ycand, jnp.zeros((1, LANES), ycand.dtype)], axis=0)
+            [ycand, jnp.full((1, LANES), identity, ycand.dtype)],
+            axis=0)
         y2d = jnp.take(ycp, d["merge_src"][0], axis=0)
-        fo, fs = d["fix_out"][0], d["fix_src"][0]
-        upd = sr.reduce(jnp.take(y2d, fo, axis=0, mode="fill",
-                                 fill_value=identity),
-                        jnp.take(ycp, fs, axis=0))
-        y2d = y2d.at[fo].set(upd, mode="drop")
+        # one scatter per depth level: indices within a level are
+        # distinct per block, so each update reads the y2d that
+        # already holds the previous depth's contribution
+        fo_all, fs_all = d["fix_out"][0], d["fix_src"][0]
+        for dpt in range(fo_all.shape[0]):
+            fo, fs = fo_all[dpt], fs_all[dpt]
+            upd = sr.reduce(jnp.take(y2d, fo, axis=0, mode="fill",
+                                     fill_value=identity),
+                            jnp.take(ycp, fs, axis=0))
+            y2d = y2d.at[fo].set(upd, mode="drop")
         y = y2d.reshape(-1)[:R]
 
         # owned block = a CONTIGUOUS window of local y (ownership and
@@ -568,6 +599,10 @@ def _dist_stream_matvec(dev, x, *, mesh, axis, R, B,
                                fill_value=identity)
                 y_own = y_own.at[pos].set(sr.reduce(old, comb_v),
                                           mode="drop")
+        # the oracle's acc = initialize() participates in every row
+        # (parity with _stream_spmv's final fold; matters for rings
+        # whose identity is not absorbing over the data range)
+        y_own = sr.reduce(y_own, jnp.full_like(y_own, identity))
         return y_own[None, :]
 
     specs = {k: P(axis, *([None] * (v.ndim - 1)))

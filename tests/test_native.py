@@ -273,8 +273,8 @@ class TestPlanScan:
             st._scan_route_streams = orig
 
         nat, ref = caps
-        names = ("cid", "rel2", "live", "src1c", "src1p", "src2e",
-                 "src2p", "valid2", "first_idx", "cmask", "climit")
+        names = ("perm_src", "relid", "src2e", "src2p", "valid2",
+                 "counts")
         for name, a, b in zip(names, nat, ref):
             np.testing.assert_array_equal(
                 np.asarray(a).reshape(-1), np.asarray(b).reshape(-1),
