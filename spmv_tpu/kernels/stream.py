@@ -130,13 +130,24 @@ class StreamPolicy:
     # count shows >= REDUCE_MIN_FACTOR duplication; "on" forces (raises
     # if infeasible); "off" disables.
     reduce: str = "auto"
+    # Column->sublane lane remap (round 5, VERDICT r4 item 1): instead
+    # of the fixed slot sublane = col mod 128 — whose per-residue
+    # bucket imbalance capped slot fill at ~79% on the bench matrix —
+    # the planner deals each window's columns onto sublanes balanced
+    # by nnz count, and the x table is built through a planned
+    # per-window route (one extra in-kernel 3-stage route per x
+    # window, no extra HBM pass: the route subsumes the transpose the
+    # old x-prep already paid). Off for shard-uniform multichip plans
+    # (their x prep happens inside shard_map).
+    remap: bool = True
 
     def structural_fields(self) -> dict:
         """Fields that shape the plan (= the plan-cache key).
         scan_sbt / scan_strategy only re-batch the same plan at
         dispatch time (tiles are padded to SBT_SCAN_MAX granules)."""
         return {"kappa": self.kappa, "hot_threshold": self.hot_threshold,
-                "gather_sbt": self.gather_sbt, "reduce": self.reduce}
+                "gather_sbt": self.gather_sbt, "reduce": self.reduce,
+                "remap": self.remap}
 
 
 @dataclasses.dataclass
@@ -260,6 +271,37 @@ def _plan_gather(Aj: np.ndarray, policy: StreamPolicy, x_blocks_pad: int):
     return slot_src, slot_q, xb, np.asarray(hot_cols, dtype=np.int64)
 
 
+def _assign_cols_balanced(uc: np.ndarray, cnt: np.ndarray, W: int,
+                          n_w: int):
+    """Balanced column->sublane assignment per 16K-column x window.
+
+    Columns of each window are sorted by descending nnz count and
+    snake-dealt across the 128 sublanes (round k runs forward for even
+    k, backward for odd), so per-sublane loads stay near the window
+    mean instead of inheriting the col-mod-128 residue skew. Each
+    sublane receives at most 128 columns (= its lane capacity in the
+    remapped x row). Returns (sub_of_col, lane_of_col, xroute) where
+    xroute[w, s, q] is the in-window source position of the column
+    assigned to slot (s, q), -1 for empty slots — the per-window
+    3-stage route that builds the remapped-transposed x table.
+    """
+    cw = (uc // W).astype(np.int64)
+    order = np.lexsort((-cnt, cw))
+    cw_o = cw[order]
+    wstart = np.searchsorted(cw_o, np.arange(n_w + 1))
+    iwin = np.arange(uc.shape[0], dtype=np.int64) - wstart[cw_o]
+    k = iwin // LANES
+    pos = iwin % LANES
+    sub_o = np.where(k % 2 == 0, pos, LANES - 1 - pos)
+    sub_of = np.empty(uc.shape[0], np.int64)
+    lane_of = np.empty(uc.shape[0], np.int64)
+    sub_of[order] = sub_o
+    lane_of[order] = k
+    xr = np.full((n_w, LANES, LANES), -1, np.int32)
+    xr[cw, sub_of, lane_of] = (uc % W).astype(np.int32)
+    return sub_of, lane_of, xr
+
+
 REDUCE_MIN_FACTOR = 1.5  # nnz per partial below which pass-0 reduction
 # does not pay for its extra per-tile compute (one lane-prefix matmul +
 # one route, ~0.45 us/tile measured-class costs)
@@ -307,17 +349,30 @@ def _plan_gather_reduce(Aj: np.ndarray, row_ids: np.ndarray,
     # --- cold: per (window, sublane) bucket, sorted by row, cut into
     # contiguous 128-lane chunks across the window's tiles ---
     cold_idx = np.nonzero(~is_hot)[0]
+    xroute = None
     if cold_idx.size:
         ccols = Aj[cold_idx]
         crows = row_ids[cold_idx]
         win = ccols // W
-        sub = ccols % LANES
+        if policy.remap:
+            # balanced column->sublane deal + planned x remap route
+            # (slot fill was capped at ~79% by the col-mod-128 skew)
+            n_w0 = int(win.max()) + 1
+            uc, cnt = np.unique(ccols, return_counts=True)
+            sub_of_col, lane_of_col, xroute = _assign_cols_balanced(
+                uc, cnt, W, n_w0)
+            ci = np.searchsorted(uc, ccols)
+            sub = sub_of_col[ci]
+            qlan_all = lane_of_col[ci].astype(np.int8)
+        else:
+            sub = ccols % LANES
+            qlan_all = ((ccols // LANES) % LANES).astype(np.int8)
         order = np.lexsort((ccols, crows, sub, win))
         cold_idx = cold_idx[order]
         ccols = ccols[order]
         win = win[order]
         sub = sub[order]
-        qlan = ((ccols // LANES) % LANES).astype(np.int8)
+        qlan = qlan_all[order]
         bkey = win * LANES + sub
         ub, ustart = np.unique(bkey, return_index=True)
         pos = np.arange(bkey.shape[0]) - ustart[
@@ -442,6 +497,7 @@ def _plan_gather_reduce(Aj: np.ndarray, row_ids: np.ndarray,
         "tile_of_part": t_i,
         "p_of_part": p_of,
         "n_runs": n_runs,
+        "xroute": xroute,  # per-window x remap (None when remap off)
     }
     return slot_src, slot_q, xb, np.asarray(hot_cols, dtype=np.int64), red
 
@@ -583,8 +639,12 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     nnz = int(Ap[-1])
     row_ids = np.repeat(np.arange(A.n_rows, dtype=np.int64),
                         Ap[1:] - Ap[:-1])
-    # x2d is padded to whole 16K-column windows (128-row blocks)
+    # x2d is padded to whole 16K-column windows (128-row blocks);
+    # with the lane remap the window count also rounds to the xprep
+    # kernel's 8-window grid granule
     x_blocks_pad = -(-A.n_cols // (LANES * LANES))
+    if policy.remap:
+        x_blocks_pad = -(-x_blocks_pad // 8) * 8
     x_rows_pad = x_blocks_pad * LANES
 
     red = None
@@ -882,6 +942,16 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
         "q": dput(slot_q.reshape(-1, LANES)),
         "xb": jnp.asarray(xb),
     }
+    if red is not None and red.get("xroute") is not None:
+        xr = red["xroute"]
+        pad_w = x_blocks_pad - xr.shape[0]
+        if pad_w:
+            xr = np.concatenate(
+                [xr, np.full((pad_w, LANES, LANES), -1, np.int32)])
+        xr1, xr2, xr3 = route_tiles(xr, dedupe=False)
+        gather_dev["xr1"] = dput(xr1.reshape(-1, LANES))
+        gather_dev["xr2"] = dput(xr2.reshape(-1, LANES))
+        gather_dev["xr3"] = dput(xr3.reshape(-1, LANES))
     reduce_dev = None
     if red is not None:
         c1, c2, c3 = route_tiles(red["src_route"], dedupe=False)
@@ -1146,6 +1216,34 @@ def _reduce_pass(x2d, ax, q, xb, c1, c2, c3, rs=None, *,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(*aux, *x_args)
+
+
+@functools.partial(jax.jit, static_argnames=("n_w", "interpret"))
+def _xprep_pass(xnat, xr1, xr2, xr3, *, n_w, interpret):
+    """Remapped-transposed x table in ONE Pallas pass: per 16K-column
+    window, a planned 3-stage route takes the natural x block (row r =
+    x[w*16384 + r*128 : +128]) straight to the balanced slot layout —
+    the route subsumes the transpose the old XLA x-prep paid, so the
+    remap costs route compute (+3 B/element of route streams), not an
+    extra HBM round trip."""
+    sbt = 8
+    n_steps = n_w // sbt
+
+    def kernel(x_ref, r1_ref, r2_ref, r3_ref, out_ref):
+        out_ref[...] = _route3_batched(
+            x_ref[...], r1_ref[...], r2_ref[...], r3_ref[...])
+
+    blk = pl.BlockSpec((sbt * LANES, LANES), lambda t: (t, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[blk] * 4,
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((n_w * LANES, LANES), xnat.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xnat, xr1, xr2, xr3)
 
 
 def _route3(v, s1_ref, s2_ref, s3_ref):
@@ -1564,11 +1662,18 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy,
 
     # --- x table: per-window TRANSPOSED x blocks + hot-column
     # broadcast pages (value replicated down each sublane of its lane).
-    # One XLA transpose pass over x (~2 reads+writes of 4 B/col) buys
-    # native lane gathers in the kernel.
+    # One pass over x buys native lane gathers in the kernel: with the
+    # lane remap the pass is the planned per-window route (the route
+    # includes the transpose); otherwise a plain XLA transpose.
     xp = jnp.pad(x.astype(val_dtype), (0, plan.x_rows_pad * LANES - A.n_cols))
-    x2d = jnp.swapaxes(
-        xp.reshape(-1, LANES, LANES), 1, 2).reshape(-1, LANES)
+    if "xr1" in plan.gather:
+        x2d = _xprep_pass(
+            xp.reshape(-1, LANES), plan.gather["xr1"],
+            plan.gather["xr2"], plan.gather["xr3"],
+            n_w=plan.x_rows_pad // LANES, interpret=interp)
+    else:
+        x2d = jnp.swapaxes(
+            xp.reshape(-1, LANES, LANES), 1, 2).reshape(-1, LANES)
     n_aug = int(np.asarray(plan.hot_cols).shape[0])
     if n_aug:
         hot_x = jnp.take(x.astype(val_dtype), jnp.asarray(plan.hot_cols))
@@ -1665,6 +1770,11 @@ def audit_plan(plan: StreamPlan, nnz: int, val_bytes: int = 4) -> dict:
     if x_bytes > X_VMEM_MAX_BYTES:
         x_bytes = gt * TILE * val_bytes
     passes = {}
+    if "xr1" in plan.gather:
+        # lane-remap x prep: read natural x + 3 route streams, write
+        # the remapped table (replaces the old XLA transpose pass,
+        # which moved 2*table and was previously uncounted)
+        passes["xprep"] = plan.x_rows_pad * LB * (2 * val_bytes + 3)
     if plan.reduce is not None:
         # reduce pass: Ax + q + x + 3 route stages (firstmask rides
         # c3's high bit), writing only Qp partial rows per tile

@@ -313,6 +313,9 @@ def build_uniform_plans(A: CSR, plan: HaloPlan,
         from spmv_tpu.ops.tuning import policy_for
 
         policy = policy_for(np.dtype(val_dtype).itemsize)
+    # shard-local x tables are built with the plain transpose inside
+    # shard_map; the single-chip lane remap does not apply here
+    policy = dataclasses.replace(policy, remap=False)
     locals_ = [_local_csr(plan, s, val_dtype) for s in range(n)]
     # The reference shard discovers the common geometry; the others
     # replay it. Feasibility under a replayed geometry is NOT monotone

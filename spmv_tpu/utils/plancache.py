@@ -29,9 +29,9 @@ import numpy as np
 
 from spmv_tpu.formats import CSR
 
-_FORMAT_VERSION = 9  # v9: merge_src row-gather merge + generic-ring
-# reduce run-start bits (perm route +
-# end/prev prefix routes, per-tile counts) + ragged-concat merge pieces
+_FORMAT_VERSION = 10  # v10: balanced column->sublane lane remap — the
+# gather dict gains the per-window x-table route streams (xr1/xr2/xr3)
+# and slot/q semantics follow the remapped layout
 
 
 def plan_key(A: CSR, policy) -> str:
