@@ -48,6 +48,9 @@ class EllPlan:
     ax: jax.Array  # (Tv, 8, 128) values
     valid: jax.Array  # (Tv, 8, 128) bool
     vrow_row: jax.Array  # (V,) int32 global row of each chunk
+    # planned paged gather for the phase-A x read (None = XLA
+    # jnp.take, the round-4 cliff; VERDICT r4 item 2)
+    pgather: object = None
 
 
 def build_ell_plan(A: CSR, rows: np.ndarray, width: int) -> EllPlan:
@@ -113,14 +116,22 @@ def build_ell_plan(A: CSR, rows: np.ndarray, width: int) -> EllPlan:
         # slot = ((t*8 + s)*G + g), lanes [g*W, (g+1)*W).
         return out.reshape(Tv, SUBLANES, G, W).reshape(Tv, SUBLANES, LANES)
 
+    aj_t = pad_tiles(aj, 0)
+    valid_t = pad_tiles(valid, False)
+    from spmv_tpu.kernels.pgather import build_paged_gather_plan
+
+    pg = build_paged_gather_plan(
+        np.where(valid_t, aj_t.astype(np.int64), -1).reshape(-1),
+        A.n_cols, np.dtype(Ax.dtype).itemsize if Ax.size else 4)
     return EllPlan(
         width=W,
         n_vrows=V,
         n_tiles=Tv,
-        aj=jnp.asarray(pad_tiles(aj, 0)),
+        aj=jnp.asarray(aj_t),
         ax=jnp.asarray(pad_tiles(ax, 0)),
-        valid=jnp.asarray(pad_tiles(valid, False)),
+        valid=jnp.asarray(valid_t),
         vrow_row=jnp.asarray(vrow_row.astype(np.int32)),
+        pgather=pg,
     )
 
 
@@ -167,18 +178,25 @@ def _group_reduce_kernel(sr: Semiring, identity: float, W: int, strategy: str):
 # (the functor_t analog, ref: merge_genl/agent_spmv_orig.cuh:98-124).
 @functools.partial(
     jax.jit,
-    static_argnames=("sr", "W", "Tv", "V", "n_rows", "strategy", "interpret", "val_dtype"),
+    static_argnames=("sr", "W", "Tv", "V", "n_rows", "strategy", "interpret",
+                     "val_dtype", "pregathered"),
 )
 def _ell_spmv_device(
     aj, ax, valid, vrow_row, x,
     *, sr: Semiring, W: int, Tv: int, V: int, n_rows: int,
-    strategy: str, interpret: bool, val_dtype,
+    strategy: str, interpret: bool, val_dtype, pregathered: bool = False,
 ):
     identity = float(sr.identity_for(np.dtype(val_dtype)))
     G = LANES // W
 
-    # Phase A (XLA): gather x, combine, mask invalid slots to identity.
-    xg = jnp.take(x, aj.reshape(-1)).reshape(aj.shape)
+    # Phase A: gather x, combine, mask invalid slots to identity. With
+    # a paged-gather plan the read already happened in the Pallas
+    # planned kernel (kernels/pgather.py); the XLA element gather is
+    # the fallback for huge x tables (VERDICT r4 item 2).
+    if pregathered:
+        xg = x.reshape(aj.shape)
+    else:
+        xg = jnp.take(x, aj.reshape(-1)).reshape(aj.shape)
     prod = sr.combine(ax.astype(val_dtype), xg.astype(val_dtype))
     prod = jnp.where(valid, prod, identity)
 
@@ -210,11 +228,18 @@ def ell_spmv(A: CSR, x, semiring: Semiring, plan: EllPlan, strategy: str):
 
     x = jnp.asarray(x)
     val_dtype = resolve_val_dtype(A, x)
+    xin = x
+    pregathered = plan.pgather is not None
+    if pregathered:
+        from spmv_tpu.kernels.pgather import paged_gather
+
+        xin = paged_gather(x.astype(val_dtype), plan.pgather)
     return _ell_spmv_device(
-        plan.aj, plan.ax, plan.valid, plan.vrow_row, x,
+        plan.aj, plan.ax, plan.valid, plan.vrow_row, xin,
         sr=semiring, W=plan.width, Tv=plan.n_tiles,
         V=plan.n_vrows, n_rows=A.n_rows, strategy=strategy,
         interpret=config.use_interpret(), val_dtype=np.dtype(val_dtype),
+        pregathered=pregathered,
     )
 
 

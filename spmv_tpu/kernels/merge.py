@@ -96,6 +96,18 @@ class MergePlan:
     lrow: jax.Array  # (T,) int32 last global row touched by tile
     cnt: jax.Array  # (T,) int32 valid nnz in tile
     owner_idx: jax.Array  # (n_rows,) int32 flat index into (T*RW [+1 pad]) output
+    # planned paged gather for the phase-A x read (None = XLA jnp.take,
+    # the round-4 0.12 G elems/s cliff; VERDICT r4 item 2)
+    pgather: object = None
+
+
+def _merge_pgather(aj_flat: np.ndarray, valid_flat: np.ndarray,
+                   n_cols: int, val_bytes: int):
+    """Paged-gather plan over the merge stream (dead slots -1)."""
+    from spmv_tpu.kernels.pgather import build_paged_gather_plan
+
+    idx = np.where(valid_flat, aj_flat.astype(np.int64), -1)
+    return build_paged_gather_plan(idx, n_cols, val_bytes)
 
 
 def build_merge_plan(A: CSR, policy: MergePolicy) -> MergePlan:
@@ -140,6 +152,9 @@ def build_merge_plan(A: CSR, policy: MergePolicy) -> MergePlan:
                     lrow=jnp.asarray(mt["lrow"]),
                     cnt=jnp.asarray(mt["cnt"]),
                     owner_idx=jnp.asarray(mt["owner_idx"]),
+                    pgather=_merge_pgather(
+                        aj_tiles.reshape(-1), valid.reshape(-1),
+                        A.n_cols, Ax.dtype.itemsize),
                 )
         except (NotImplementedError, ValueError):
             pass
@@ -219,6 +234,9 @@ def build_merge_plan(A: CSR, policy: MergePolicy) -> MergePlan:
     return MergePlan(
         policy=policy,
         n_tiles=T,
+        pgather=_merge_pgather(aj_tiles.reshape(-1), valid.reshape(-1),
+                               A.n_cols, Ax.dtype.itemsize if Ax.size
+                               else 4),
         aj_tiles=jnp.asarray(aj_tiles),
         ax_tiles=jnp.asarray(ax_tiles),
         rel_tiles=jnp.asarray(rel.reshape(T, S, LANES)),
@@ -285,20 +303,27 @@ def _merge_tile_kernel(sr: Semiring, identity: float, S: int, P: int):
 # (ref: merge_genl/agent_spmv_orig.cuh:98-124).
 @functools.partial(
     jax.jit,
-    static_argnames=("sr", "n_rows", "T", "S", "P", "interpret", "val_dtype"),
+    static_argnames=("sr", "n_rows", "T", "S", "P", "interpret", "val_dtype",
+                     "pregathered"),
 )
 def _merge_spmv_device(
     aj_tiles, ax_tiles, rel_tiles, pend_tiles, r_start, lrow, cnt, owner_idx, x,
     *, sr: Semiring, n_rows: int, T: int, S: int, P: int, interpret: bool,
-    val_dtype,
+    val_dtype, pregathered: bool = False,
 ):
     EN = S * LANES
     RW = P * LANES
     identity = float(sr.identity_for(np.dtype(val_dtype)))
 
-    # Phase A (XLA): gather x and form products, masked to the identity
-    # beyond each tile's valid count.
-    xg = jnp.take(x, aj_tiles.reshape(-1), fill_value=0).reshape(T, EN)
+    # Phase A: gather x and form products, masked to the identity
+    # beyond each tile's valid count. With a paged-gather plan the
+    # read runs in the Pallas planned kernel (kernels/pgather.py,
+    # ~50-80x the XLA element gather); without one (huge x tables,
+    # adversarial bucketing) the XLA gather remains.
+    if pregathered:
+        xg = x.reshape(T, EN)
+    else:
+        xg = jnp.take(x, aj_tiles.reshape(-1), fill_value=0).reshape(T, EN)
     prod = sr.combine(ax_tiles.astype(val_dtype), xg.astype(val_dtype))
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (T, EN), 1)
     prod = jnp.where(e_iota < cnt[:, None], prod, identity)
@@ -351,11 +376,18 @@ def _merge_impl(A: CSR, x, semiring: Semiring, policy: MergePolicy):
     )
     S = policy.nnz_per_tile // LANES
     P = policy.rows_per_tile // LANES
+    xin = x
+    pregathered = plan.pgather is not None
+    if pregathered:
+        from spmv_tpu.kernels.pgather import paged_gather
+
+        xin = paged_gather(x.astype(val_dtype), plan.pgather)
     return _merge_spmv_device(
         plan.aj_tiles, plan.ax_tiles, plan.rel_tiles, plan.pend_tiles,
-        plan.r_start, plan.lrow, plan.cnt, plan.owner_idx, x,
+        plan.r_start, plan.lrow, plan.cnt, plan.owner_idx, xin,
         sr=semiring, n_rows=A.n_rows, T=plan.n_tiles, S=S, P=P,
         interpret=config.use_interpret(), val_dtype=np.dtype(val_dtype),
+        pregathered=pregathered,
     )
 
 

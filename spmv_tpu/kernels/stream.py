@@ -271,9 +271,46 @@ def _plan_gather(Aj: np.ndarray, policy: StreamPolicy, x_blocks_pad: int):
     return slot_src, slot_q, xb, np.asarray(hot_cols, dtype=np.int64)
 
 
-def _assign_cols_balanced(uc: np.ndarray, cnt: np.ndarray, W: int,
+WINDOW_ALIGN = 8    # window starts align to 8 natural col groups (the
+# (8,128) f32 sublane tile: dynamic slices of the resident natural x
+# stay tile-aligned)
+WINDOW_MARGIN = 256  # close-window slack for the snake deal's max-load
+# overshoot over the window mean
+
+
+def _plan_windows(gl: np.ndarray) -> np.ndarray:
+    """Variable-span x windows over natural 128-column groups.
+
+    Fixed 16K-column windows quantize slot fill at ceil(load/16384)
+    tiles per window (~79% fill on the bench matrix — the real cause
+    of the round-4 'col-mod-128 imbalance' headroom, measured round
+    5). Greedy variable spans close each window where its load is
+    about to cross a whole-tile multiple (or at the 128-group column
+    capacity), so nearly every tile runs full. Returns the window
+    start-group array g0 (n_w+1,), starts aligned to WINDOW_ALIGN.
+    """
+    G = gl.shape[0]
+    bounds = [0]
+    load = 0
+    groups = 0
+    for g in range(0, G, WINDOW_ALIGN):
+        gload = int(gl[g:g + WINDOW_ALIGN].sum())
+        if groups >= LANES or (
+                load >= 2 * TILE - WINDOW_MARGIN
+                and load + gload > -(-load // TILE) * TILE):
+            bounds.append(g)
+            load = 0
+            groups = 0
+        load += gload
+        groups += WINDOW_ALIGN
+    bounds.append(G)
+    return np.asarray(bounds, dtype=np.int64)
+
+
+def _assign_cols_balanced(uc: np.ndarray, cnt: np.ndarray,
+                          win_of_col: np.ndarray, g0: np.ndarray,
                           n_w: int):
-    """Balanced column->sublane assignment per 16K-column x window.
+    """Balanced column->sublane assignment per x window.
 
     Columns of each window are sorted by descending nnz count and
     snake-dealt across the 128 sublanes (round k runs forward for even
@@ -281,15 +318,16 @@ def _assign_cols_balanced(uc: np.ndarray, cnt: np.ndarray, W: int,
     mean instead of inheriting the col-mod-128 residue skew. Each
     sublane receives at most 128 columns (= its lane capacity in the
     remapped x row). Returns (sub_of_col, lane_of_col, xroute) where
-    xroute[w, s, q] is the in-window source position of the column
-    assigned to slot (s, q), -1 for empty slots — the per-window
-    3-stage route that builds the remapped-transposed x table.
+    xroute[w, s, q] is the source position of the column assigned to
+    slot (s, q) within the window's 128-group slice of the natural x
+    layout (rows [g0[w], g0[w]+128) of x.reshape(-1, 128)), -1 for
+    empty slots — the per-window 3-stage route that builds the
+    remapped-transposed x table.
     """
-    cw = (uc // W).astype(np.int64)
-    order = np.lexsort((-cnt, cw))
-    cw_o = cw[order]
-    wstart = np.searchsorted(cw_o, np.arange(n_w + 1))
-    iwin = np.arange(uc.shape[0], dtype=np.int64) - wstart[cw_o]
+    order = np.lexsort((-cnt, win_of_col))
+    w_o = win_of_col[order]
+    wstart = np.searchsorted(w_o, np.arange(n_w + 1))
+    iwin = np.arange(uc.shape[0], dtype=np.int64) - wstart[w_o]
     k = iwin // LANES
     pos = iwin % LANES
     sub_o = np.where(k % 2 == 0, pos, LANES - 1 - pos)
@@ -297,8 +335,11 @@ def _assign_cols_balanced(uc: np.ndarray, cnt: np.ndarray, W: int,
     lane_of = np.empty(uc.shape[0], np.int64)
     sub_of[order] = sub_o
     lane_of[order] = k
+    src_local = ((uc // LANES - g0[win_of_col]) * LANES
+                 + uc % LANES).astype(np.int32)
+    assert (src_local >= 0).all() and (src_local < TILE).all()
     xr = np.full((n_w, LANES, LANES), -1, np.int32)
-    xr[cw, sub_of, lane_of] = (uc % W).astype(np.int32)
+    xr[win_of_col, sub_of, lane_of] = src_local
     return sub_of, lane_of, xr
 
 
@@ -350,28 +391,64 @@ def _plan_gather_reduce(Aj: np.ndarray, row_ids: np.ndarray,
     # contiguous 128-lane chunks across the window's tiles ---
     cold_idx = np.nonzero(~is_hot)[0]
     xroute = None
+    g0_w = None
+    x_nat_rows = 0
     if cold_idx.size:
         ccols = Aj[cold_idx]
         crows = row_ids[cold_idx]
-        win = ccols // W
-        if policy.remap:
-            # balanced column->sublane deal + planned x remap route
-            # (slot fill was capped at ~79% by the col-mod-128 skew)
-            n_w0 = int(win.max()) + 1
+        G = int(ccols.max() // LANES) + 1
+        # remap needs the natural x resident in VMEM for the window
+        # slices; huge tables keep the plain col-mod-128 layout
+        remap = (policy.remap
+                 and (G + LANES) * LANES * 4 <= X_VMEM_MAX_BYTES)
+        if remap:
+            # Variable-span windows + balanced column->sublane deal.
+            # Score fixed 16K-column windows against the greedy
+            # load-quantized spans: variable spans win on sparse
+            # column regions and sub-integer loads (bench matrix:
+            # 256 -> ~204 gather tiles); fixed wins when its table is
+            # VMEM-resident and variable's would not be.
+            gl = np.bincount(ccols // LANES, minlength=G)
+            cs = np.concatenate([[0], np.cumsum(gl)])
+
+            def _layout(bounds):
+                loads = cs[bounds[1:]] - cs[bounds[:-1]]
+                tiles = int((-(-loads // TILE)).sum())
+                n_wl = int((loads > 0).sum())
+                xbytes = -(-n_wl // 8) * 8 * TILE * 4
+                if xbytes > X_VMEM_MAX_BYTES:
+                    xbytes = tiles * TILE * 4
+                return tiles * 530e-9 + xbytes / 636e9, loads
+
+            bounds_f = np.unique(np.concatenate(
+                [np.arange(0, G, LANES, dtype=np.int64), [G]]))
+            bounds_v = _plan_windows(gl)
+            sf, loads_f = _layout(bounds_f)
+            sv, loads_v = _layout(bounds_v)
+            bounds, loads = ((bounds_v, loads_v) if sv <= sf
+                             else (bounds_f, loads_f))
+            live_w = loads > 0
+            n_w = int(live_w.sum())
+            wid = np.where(live_w, np.cumsum(live_w) - 1, -1)
+            win_of_group = np.repeat(wid, np.diff(bounds))
+            g0_w = bounds[:-1][live_w].astype(np.int64)
+            x_nat_rows = -(-(G + LANES) // 8) * 8
             uc, cnt = np.unique(ccols, return_counts=True)
             sub_of_col, lane_of_col, xroute = _assign_cols_balanced(
-                uc, cnt, W, n_w0)
+                uc, cnt, win_of_group[uc // LANES], g0_w, n_w)
             ci = np.searchsorted(uc, ccols)
-            sub = sub_of_col[ci]
+            win_all = win_of_group[ccols // LANES]
+            sub_all = sub_of_col[ci]
             qlan_all = lane_of_col[ci].astype(np.int8)
         else:
-            sub = ccols % LANES
+            win_all = ccols // W
+            sub_all = ccols % LANES
             qlan_all = ((ccols // LANES) % LANES).astype(np.int8)
-        order = np.lexsort((ccols, crows, sub, win))
+        order = np.lexsort((ccols, crows, sub_all, win_all))
         cold_idx = cold_idx[order]
         ccols = ccols[order]
-        win = win[order]
-        sub = sub[order]
+        win = win_all[order]
+        sub = sub_all[order]
         qlan = qlan_all[order]
         bkey = win * LANES + sub
         ub, ustart = np.unique(bkey, return_index=True)
@@ -408,7 +485,11 @@ def _plan_gather_reduce(Aj: np.ndarray, row_ids: np.ndarray,
 
     # --- hot: page packing as in _plan_gather, then each tile's
     # entries re-sorted by row and refilled sublane-major (hot slots
-    # have no sublane constraint: q is the aug-page row per slot) ---
+    # have no sublane constraint: q is the aug-page row per slot).
+    # Aug pages sit after the cold table: with the remap layout the
+    # cold table has one 128-row block per LIVE window. ---
+    if xroute is not None:
+        x_blocks_pad = -(-xroute.shape[0] // 8) * 8
     hot_idx = np.nonzero(is_hot)[0]
     if hot_idx.size:
         hcols = Aj[hot_idx]
@@ -497,7 +578,11 @@ def _plan_gather_reduce(Aj: np.ndarray, row_ids: np.ndarray,
         "tile_of_part": t_i,
         "p_of_part": p_of,
         "n_runs": n_runs,
-        "xroute": xroute,  # per-window x remap (None when remap off)
+        # x remap layout (None/absent when remap off): per-live-window
+        # route tiles, window start groups, natural-x input rows
+        "xroute": xroute,
+        "g0": g0_w,
+        "x_nat_rows": x_nat_rows,
     }
     return slot_src, slot_q, xb, np.asarray(hot_cols, dtype=np.int64), red
 
@@ -659,6 +744,11 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
                     f"{REDUCE_MIN_FACTOR})")
         else:
             slot_src, slot_q, xb, hot_cols, red = res
+            if red.get("xroute") is not None:
+                # remap layout: the x table holds one 128-row block
+                # per LIVE window (+ aug pages), not per natural window
+                x_blocks_pad = -(-red["xroute"].shape[0] // 8) * 8
+                x_rows_pad = x_blocks_pad * LANES
     if red is None:
         slot_src, slot_q, xb, hot_cols = _plan_gather(
             Aj, policy, x_blocks_pad)
@@ -944,14 +1034,19 @@ def build_stream_plan(A: CSR, policy: StreamPolicy) -> StreamPlan:
     }
     if red is not None and red.get("xroute") is not None:
         xr = red["xroute"]
-        pad_w = x_blocks_pad - xr.shape[0]
+        n_w_live = xr.shape[0]
+        pad_w = x_blocks_pad - n_w_live
         if pad_w:
             xr = np.concatenate(
                 [xr, np.full((pad_w, LANES, LANES), -1, np.int32)])
         xr1, xr2, xr3 = route_tiles(xr, dedupe=False)
+        g0p = np.zeros(x_blocks_pad, np.int32)
+        g0p[:n_w_live] = red["g0"].astype(np.int32)
         gather_dev["xr1"] = dput(xr1.reshape(-1, LANES))
         gather_dev["xr2"] = dput(xr2.reshape(-1, LANES))
         gather_dev["xr3"] = dput(xr3.reshape(-1, LANES))
+        gather_dev["g0"] = jnp.asarray(g0p)
+        gather_dev["x_nat_rows"] = int(red["x_nat_rows"])
     reduce_dev = None
     if red is not None:
         c1, c2, c3 = route_tiles(red["src_route"], dedupe=False)
@@ -1219,31 +1314,43 @@ def _reduce_pass(x2d, ax, q, xb, c1, c2, c3, rs=None, *,
 
 
 @functools.partial(jax.jit, static_argnames=("n_w", "interpret"))
-def _xprep_pass(xnat, xr1, xr2, xr3, *, n_w, interpret):
-    """Remapped-transposed x table in ONE Pallas pass: per 16K-column
-    window, a planned 3-stage route takes the natural x block (row r =
-    x[w*16384 + r*128 : +128]) straight to the balanced slot layout —
-    the route subsumes the transpose the old XLA x-prep paid, so the
-    remap costs route compute (+3 B/element of route streams), not an
-    extra HBM round trip."""
+def _xprep_pass(xnat, g0, xr1, xr2, xr3, *, n_w, interpret):
+    """Remapped-transposed x table in ONE Pallas pass: per variable-
+    span window, slice the VMEM-resident natural x at the window's
+    (8-aligned) start group and run the planned 3-stage route to the
+    balanced slot layout — the route subsumes the transpose the old
+    XLA x-prep paid, so the remap costs route compute (+3 B/element
+    of route streams), not an extra HBM round trip."""
     sbt = 8
     n_steps = n_w // sbt
+    g_in = xnat.shape[0]
 
-    def kernel(x_ref, r1_ref, r2_ref, r3_ref, out_ref):
+    def kernel(g0_ref, r1_ref, r2_ref, r3_ref, x_ref, out_ref):
+        t = pl.program_id(0)
+        wins = []
+        for j in range(sbt):
+            start = pl.multiple_of(g0_ref[t * sbt + j], WINDOW_ALIGN)
+            wins.append(x_ref[pl.ds(start, LANES), :])
+        v = jnp.concatenate(wins, axis=0)
         out_ref[...] = _route3_batched(
-            x_ref[...], r1_ref[...], r2_ref[...], r3_ref[...])
+            v, r1_ref[...], r2_ref[...], r3_ref[...])
 
-    blk = pl.BlockSpec((sbt * LANES, LANES), lambda t: (t, 0))
+    blk = pl.BlockSpec((sbt * LANES, LANES), lambda t, g0: (t, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[blk] * 3
+        + [pl.BlockSpec((g_in, LANES), lambda t, g0: (0, 0))],
+        out_specs=blk,
+    )
     return pl.pallas_call(
         kernel,
-        grid=(n_steps,),
-        in_specs=[blk] * 4,
-        out_specs=blk,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_w * LANES, LANES), xnat.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(xnat, xr1, xr2, xr3)
+    )(g0, xr1, xr2, xr3, xnat)
 
 
 def _route3(v, s1_ref, s2_ref, s3_ref):
@@ -1665,13 +1772,17 @@ def _stream_spmv(A: CSR, x, semiring: Semiring, policy: StreamPolicy,
     # One pass over x buys native lane gathers in the kernel: with the
     # lane remap the pass is the planned per-window route (the route
     # includes the transpose); otherwise a plain XLA transpose.
-    xp = jnp.pad(x.astype(val_dtype), (0, plan.x_rows_pad * LANES - A.n_cols))
     if "xr1" in plan.gather:
+        xnat = jnp.pad(
+            x.astype(val_dtype),
+            (0, plan.gather["x_nat_rows"] * LANES - A.n_cols))
         x2d = _xprep_pass(
-            xp.reshape(-1, LANES), plan.gather["xr1"],
-            plan.gather["xr2"], plan.gather["xr3"],
+            xnat.reshape(-1, LANES), plan.gather["g0"],
+            plan.gather["xr1"], plan.gather["xr2"], plan.gather["xr3"],
             n_w=plan.x_rows_pad // LANES, interpret=interp)
     else:
+        xp = jnp.pad(x.astype(val_dtype),
+                     (0, plan.x_rows_pad * LANES - A.n_cols))
         x2d = jnp.swapaxes(
             xp.reshape(-1, LANES, LANES), 1, 2).reshape(-1, LANES)
     n_aug = int(np.asarray(plan.hot_cols).shape[0])

@@ -29,9 +29,10 @@ import numpy as np
 
 from spmv_tpu.formats import CSR
 
-_FORMAT_VERSION = 10  # v10: balanced column->sublane lane remap — the
-# gather dict gains the per-window x-table route streams (xr1/xr2/xr3)
-# and slot/q semantics follow the remapped layout
+_FORMAT_VERSION = 11  # v11: variable-span x windows + balanced
+# column->sublane lane remap — the gather dict gains the per-window
+# x-table route streams (xr1/xr2/xr3), window start groups (g0) and
+# the natural-x input row count; slot/q/xb follow the remapped layout
 
 
 def plan_key(A: CSR, policy) -> str:
