@@ -128,17 +128,19 @@ def main(write_md=True):
             "Notes. Config 2 banded: the DIA kind (implicit column "
             "indices) honestly exceeds the CSR speed-of-light model. "
             "Config 2 uniform-random is the structurally hard case on "
-            "TPU (no hardware gather cache; the plan-routed pipeline "
-            "pays ~9x the CSR byte model at mean 10 with no "
-            "row-duplication to reduce) — the gap is real and "
-            "documented, not hidden (docs/DESIGN_stream.md). Config 4: "
-            "generic semirings ride the segmented roll-scan variants "
-            "of the same pipeline (no ring inverse assumed); ~2-3x the "
-            "plus-times MXU prefix-difference kernel is the honest "
-            "envelope on this hardware — the +-10% target assumes "
-            "template instantiation over identical machine ops "
+            "TPU (no hardware gather cache, no row duplication for the "
+            "early reduction to collapse, so the FULL nnz stream rides "
+            "the shuffle+scan at their per-tile op floor) — the gap is "
+            "real and documented, not hidden "
+            "(docs/DESIGN_stream.md, 'Known structural headroom'). "
+            "Config 4 (round 5): or_and rides the plus_times "
+            "counting-ring pipeline (one final threshold) and min_plus "
+            "rides the lanes-only flag-scan reduce + batched roll "
+            "scan; the residual min_plus overhead is the segmented "
+            "roll scan replacing one MXU prefix matmul — the +-10% "
+            "target assumes identical machine ops per functor "
             "(ref: merge_genl/), which an MXU-vs-VPU split cannot "
-            "match.")
+            "quite match for rings without an inverse.")
         with open(os.path.join(ROOT, "docs", "BASELINE_ROWS.md"), "w") as f:
             f.write("\n".join(md) + "\n")
         print("wrote docs/BASELINE_ROWS.md", file=sys.stderr)
