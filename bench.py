@@ -178,7 +178,10 @@ def main():
                 print(f"resample failed: {e}", file=sys.stderr)
         med = float(np.median(samples))
         kinds_done[top]["gnnz_per_s"] = round(max(samples), 3)
-        best = max(best, med)
+        # the HEADLINE value is the median of the fastest kind — not
+        # the max over single-pass epochs (the ±2x pool noise made
+        # rounds whipsaw when a lucky single sample set the number)
+        best = med
         extra["headline"] = {
             "kind": top,
             "median": round(med, 3),

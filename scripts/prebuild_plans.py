@@ -15,6 +15,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _valid(path: str) -> bool:
+    """Header-only check: current format version + remap metadata."""
+    import json
+
+    import numpy as np
+
+    from spmv_tpu.utils import plancache as pc
+
+    try:
+        z = np.load(path)
+        sc = json.loads(bytes(z["__header__"]).decode())
+        if sc.get("version") != pc._FORMAT_VERSION:
+            return False
+        if "gather.xr1" in z.files and (
+                "gather.g0" not in z.files
+                or "gather.x_nat_rows" not in sc):
+            return False
+        return True
+    except Exception:
+        return False
+
+
 def prebuild(nnz: int, rows: int, seed: int, alpha: float = 1.5,
              kappas=None):
     """Build the stream plan(s) for one synthetic matrix.
@@ -47,7 +69,7 @@ def prebuild(nnz: int, rows: int, seed: int, alpha: float = 1.5,
         pol = dataclasses.replace(st.DEFAULT_POLICY, kappa=kappa)
         key = plan_key(A, pol)
         path = os.path.join("scratch/plans", f"stream-{key}.npz")
-        if os.path.exists(path):
+        if os.path.exists(path) and _valid(path):
             print(f"nnz={nnz} kappa={kappa}: cached ({path})", flush=True)
             continue
         plan = st.build_stream_plan(A, pol)

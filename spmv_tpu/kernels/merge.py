@@ -56,8 +56,9 @@ from spmv_tpu.ops.semiring import Semiring, PLUS_TIMES
 from spmv_tpu.kernels.pallas_utils import (
     LANES,
     flat_iota,
-    gather_flat,
+    route3_batched,
     segmented_scan_tile,
+    sublane_iota,
 )
 
 
@@ -88,17 +89,89 @@ class MergePlan:
     policy: MergePolicy
     n_tiles: int
     # Device arrays:
-    aj_tiles: jax.Array  # (T, EN) int32, padded column indices
-    ax_tiles: jax.Array  # (T, EN) values, padded
-    rel_tiles: jax.Array  # (T, S, 128) int32 local row ids (non-decreasing)
-    pend_tiles: jax.Array  # (T, P, 128) int32 row-end flat positions, -1 = none
-    r_start: jax.Array  # (T,) int32 first global row of tile
-    lrow: jax.Array  # (T,) int32 last global row touched by tile
-    cnt: jax.Array  # (T,) int32 valid nnz in tile
-    owner_idx: jax.Array  # (n_rows,) int32 flat index into (T*RW [+1 pad]) output
+    aj_tiles: jax.Array  # (T_pad, EN) int32, padded column indices
+    ax_tiles: jax.Array  # (T_pad, EN) values, padded
+    rel_tiles: jax.Array  # (T_pad, S, 128) int32 local row ids (non-decreasing)
+    pend_tiles: jax.Array  # (T_pad, P, 128) int32 row-end flat positions, -1 = none
+    r_start: jax.Array  # (T_pad,) int32 first global row of tile
+    lrow: jax.Array  # (T_pad,) int32 last global row touched by tile
+    cnt: jax.Array  # (T_pad,) int32 valid nnz in tile
+    owner_idx: jax.Array  # (n_rows,) int32 flat index into (T_pad*RW [+1 pad]) output
     # planned paged gather for the phase-A x read (None = XLA jnp.take,
     # the round-4 0.12 G elems/s cliff; VERDICT r4 item 2)
     pgather: object = None
+    # planned row-end extraction routes per 128-row tile group (round
+    # 5: replaces the O(S) gather_flat select chain; liveness rides
+    # bit 7 of the last stage) — None on legacy/native-less plans
+    pr1: object = None
+    pr2: object = None
+    pr3: object = None
+    # planned paged gather for phase C's ownership map (the XLA
+    # element gather over n_rows was ~8 ms/M rows); owner streams are
+    # near-contiguous so the sweep skips almost every window. Empty
+    # rows are -1 in the planned stream (they'd all duplicate the one
+    # identity-pad index and blow the bucket-round cap) and get the
+    # identity back through owner_valid.
+    pgather_y: object = None
+    owner_valid: object = None  # (n_rows,) bool, False = empty row
+
+
+def _pad_merge_tiles(aj, ax, rel, pend, r_start, lrow, cnt, sbt):
+    """Pad the tile count to the kernel's sbt group granule. Pad tiles
+    are empty (cnt 0, pend -1, r_start -2 so no carry fold matches);
+    they sit at the END so the carry chain over real tiles is
+    unaffected and their output rows are identity."""
+    T = aj.shape[0]
+    # always >= 1 pad tile: the owner map's empty-row slot (T*RW)
+    # must land on identity output rows, whatever the semiring
+    T_pad = -(-(T + 1) // sbt) * sbt
+    p = T_pad - T
+    if p == 0:
+        return aj, ax, rel, pend, r_start, lrow, cnt, T_pad
+    aj = np.concatenate([aj, np.zeros((p,) + aj.shape[1:], aj.dtype)])
+    ax = np.concatenate([ax, np.zeros((p,) + ax.shape[1:], ax.dtype)])
+    rel = np.concatenate([rel, np.zeros((p,) + rel.shape[1:], rel.dtype)])
+    pend = np.concatenate(
+        [pend, np.full((p,) + pend.shape[1:], -1, pend.dtype)])
+    r_start = np.concatenate([r_start, np.full(p, -2, r_start.dtype)])
+    lrow = np.concatenate([lrow, np.full(p, -2, lrow.dtype)])
+    cnt = np.concatenate([cnt, np.zeros(p, cnt.dtype)])
+    return aj, ax, rel, pend, r_start, lrow, cnt, T_pad
+
+
+def _pend_routes(pend: np.ndarray, cnt: np.ndarray, S: int, P: int,
+                 sbt: int):
+    """Per-group route delivering each tile's row-end scan values into
+    its y window: src[g, j*P*128 + pp] = j*S*128 + pend[g*sbt+j, pp].
+
+    When spare rows exist (sbt*P + sbt <= 128) the route also drops
+    each tile's LAST-element scan value (= its last row's running
+    total, the carry source) at row sbt*P + j lane 0 — an in-kernel
+    masked full-tile reduction per tile measured ~µs-class on Mosaic,
+    vs a free extra route edge here."""
+    from spmv_tpu.ops.routing import route_tiles
+
+    T_pad = pend.shape[0]
+    Gn = T_pad // sbt
+    pf = pend.reshape(Gn, sbt, P * LANES)
+    src = np.full((Gn, LANES * LANES), -1, np.int32)
+    for j in range(sbt):
+        dst = np.arange(P * LANES) + j * P * LANES
+        pv = pf[:, j, :]
+        src[:, dst] = np.where(pv >= 0, pv + j * S * LANES, -1)
+    use_spare = sbt * P + sbt <= LANES
+    if use_spare:
+        cg = cnt.reshape(Gn, sbt).astype(np.int64)
+        for j in range(sbt):
+            src[:, (sbt * P + j) * LANES] = np.where(
+                cg[:, j] > 0, j * S * LANES + cg[:, j] - 1, -1
+            ).astype(np.int32)
+    s1, s2, s3 = route_tiles(src.reshape(Gn, LANES, LANES),
+                             dedupe=False)
+    s3 = s3.copy()
+    s3.reshape(Gn, -1)[...] |= ((src >= 0).astype(np.uint8) << 7)
+    return s1.reshape(-1, LANES), s2.reshape(-1, LANES), \
+        s3.reshape(-1, LANES)
 
 
 def _merge_pgather(aj_flat: np.ndarray, valid_flat: np.ndarray,
@@ -115,6 +188,7 @@ def build_merge_plan(A: CSR, policy: MergePolicy) -> MergePlan:
     EN nnz budget or the RW row-span budget (the host-side replacement
     for DeviceSpmvSearchKernel, ref: dispatch_spmv_orig.cuh:104-148).
     """
+    from spmv_tpu.kernels.pgather import build_paged_gather_plan
     EN, RW = policy.nnz_per_tile, policy.rows_per_tile
     Ap = np.asarray(A.Ap, dtype=np.int64)
     Aj = np.asarray(A.Aj)
@@ -141,20 +215,39 @@ def build_merge_plan(A: CSR, policy: MergePolicy) -> MergePlan:
                 aj_tiles = np.where(valid, Aj[mt["flat_k"]], 0).astype(np.int32)
                 ax_tiles = np.where(valid, Ax[mt["flat_k"]], 0).astype(Ax.dtype)
                 S, P = EN // LANES, RW // LANES
+                sbt = LANES // S
+                (aj_tiles, ax_tiles, rel, pend, r_start, lrow, cnt_a,
+                 T_pad) = _pad_merge_tiles(
+                    aj_tiles, ax_tiles, mt["rel"].reshape(T, S, LANES),
+                    mt["pend"].reshape(T, P, LANES), mt["r_start"],
+                    mt["lrow"], mt["cnt"], sbt)
+                valid_p = (np.arange(EN)[None, :]
+                           < cnt_a.astype(np.int64)[:, None])
+                pg = _merge_pgather(aj_tiles.reshape(-1),
+                                    valid_p.reshape(-1), A.n_cols,
+                                    Ax.dtype.itemsize)
+                pr1, pr2, pr3 = _pend_routes(pend, cnt_a, S, P, sbt)
                 return MergePlan(
                     policy=policy,
-                    n_tiles=T,
+                    n_tiles=T_pad,
                     aj_tiles=jnp.asarray(aj_tiles),
                     ax_tiles=jnp.asarray(ax_tiles),
-                    rel_tiles=jnp.asarray(mt["rel"].reshape(T, S, LANES)),
-                    pend_tiles=jnp.asarray(mt["pend"].reshape(T, P, LANES)),
-                    r_start=jnp.asarray(mt["r_start"]),
-                    lrow=jnp.asarray(mt["lrow"]),
-                    cnt=jnp.asarray(mt["cnt"]),
+                    rel_tiles=jnp.asarray(rel),
+                    pend_tiles=jnp.asarray(pend),
+                    r_start=jnp.asarray(r_start),
+                    lrow=jnp.asarray(lrow),
+                    cnt=jnp.asarray(cnt_a),
                     owner_idx=jnp.asarray(mt["owner_idx"]),
-                    pgather=_merge_pgather(
-                        aj_tiles.reshape(-1), valid.reshape(-1),
-                        A.n_cols, Ax.dtype.itemsize),
+                    pgather=pg,
+                    pr1=jnp.asarray(pr1), pr2=jnp.asarray(pr2),
+                    pr3=jnp.asarray(pr3),
+                    pgather_y=build_paged_gather_plan(
+                        np.where(mt["owner_idx"].astype(np.int64)
+                                 != T * RW,
+                                 mt["owner_idx"].astype(np.int64), -1),
+                        T_pad * RW),
+                    owner_valid=jnp.asarray(
+                        mt["owner_idx"].astype(np.int64) != T * RW),
                 )
         except (NotImplementedError, ValueError):
             pass
@@ -231,68 +324,104 @@ def build_merge_plan(A: CSR, policy: MergePolicy) -> MergePlan:
 
     S = EN // LANES
     P = RW // LANES
+    sbt = LANES // S
+    (aj_tiles, ax_tiles, rel_p, pend_p, r_start_p, lrow_p, cnt_p,
+     T_pad) = _pad_merge_tiles(
+        aj_tiles, ax_tiles, rel.reshape(T, S, LANES),
+        pend.reshape(T, P, LANES), r_start.astype(np.int32),
+        lrow.astype(np.int32), cnt.astype(np.int32), sbt)
+    valid_p = (np.arange(EN)[None, :]
+               < cnt_p.astype(np.int64)[:, None])
+    pr1, pr2, pr3 = _pend_routes(pend_p, cnt_p, S, P, sbt)
     return MergePlan(
         policy=policy,
-        n_tiles=T,
-        pgather=_merge_pgather(aj_tiles.reshape(-1), valid.reshape(-1),
-                               A.n_cols, Ax.dtype.itemsize if Ax.size
-                               else 4),
+        n_tiles=T_pad,
+        pgather=_merge_pgather(aj_tiles.reshape(-1),
+                               valid_p.reshape(-1), A.n_cols,
+                               Ax.dtype.itemsize if Ax.size else 4),
         aj_tiles=jnp.asarray(aj_tiles),
         ax_tiles=jnp.asarray(ax_tiles),
-        rel_tiles=jnp.asarray(rel.reshape(T, S, LANES)),
-        pend_tiles=jnp.asarray(pend.reshape(T, P, LANES)),
-        r_start=jnp.asarray(r_start.astype(np.int32)),
-        lrow=jnp.asarray(lrow.astype(np.int32)),
-        cnt=jnp.asarray(cnt.astype(np.int32)),
+        rel_tiles=jnp.asarray(rel_p),
+        pend_tiles=jnp.asarray(pend_p),
+        r_start=jnp.asarray(r_start_p),
+        lrow=jnp.asarray(lrow_p),
+        cnt=jnp.asarray(cnt_p),
         owner_idx=jnp.asarray(owner_idx),
+        pr1=jnp.asarray(pr1), pr2=jnp.asarray(pr2),
+        pr3=jnp.asarray(pr3),
+        pgather_y=build_paged_gather_plan(
+            np.where(owner_valid, owner_idx.astype(np.int64), -1),
+            T_pad * RW),
+        owner_valid=jnp.asarray(owner_valid),
     )
 
 
-def _merge_tile_kernel(sr: Semiring, identity: float, S: int, P: int):
-    """Build the per-tile kernel body for a given semiring and shape."""
+def _merge_group_kernel(sr: Semiring, identity: float, S: int, P: int,
+                        sbt: int, RW: int):
+    """Batched per-group kernel: sbt = 128/S tiles per grid step.
 
-    def kernel(r_start_ref, lrow_ref, cnt_ref, prod_ref, rel_ref, pend_ref,
-               out_ref, carry_row_ref, carry_val_ref):
-        t = pl.program_id(0)
+    One segmented scan over the stacked (128, 128) product block
+    (segment ids offset per tile so runs never link across tiles), one
+    planned route delivering every tile's row-end values into its y
+    window (replaces the round-4 O(S) gather_flat select chain), then
+    the sequential SMEM carry chain per tile — same semantics as the
+    per-tile kernel, ~sbt x fewer grid steps and op dispatches."""
 
-        @pl.when(t == 0)
+    def kernel(r_start_ref, lrow_ref, cnt_ref, prod_ref, rel_ref,
+               p1_ref, p2_ref, p3_ref, out_ref, carry_row_ref,
+               carry_val_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
         def _init():
             carry_row_ref[0] = -1
             carry_val_ref[0] = identity
 
-        prod = prod_ref[0]  # (S, 128)
-        rel = rel_ref[0]  # (S, 128)
-        pend = pend_ref[0]  # (P, 128)
+        prod = prod_ref[...]  # (sbt*S = 128, 128)
+        rel = rel_ref[...].astype(jnp.int32)
+        # per-tile rel ids offset so the scan cannot link tiles
+        seg = rel + (sublane_iota(rel.shape) // S) * RW
+        scan = segmented_scan_tile(prod, seg, sr.reduce, identity)
+        s3v = p3_ref[...].astype(jnp.int32)
+        routed = route3_batched(scan, p1_ref[...], p2_ref[...],
+                                s3v & 127)
+        yw = jnp.where(s3v >> 7 > 0, routed,
+                       jnp.full_like(routed, identity))
 
-        # Segmented inclusive scan by local row id (reduce-by-key analog).
-        scan = segmented_scan_tile(prod, rel, sr.reduce, identity)
-
-        # Row values = scan at each row's last in-tile position.
-        y_win = gather_flat(scan, pend, identity)  # (P, 128)
-
-        # Fold the running carry into this tile's first row if it is the
-        # same global row the previous tile ended on (fixup analog).
-        r0 = r_start_ref[t]
-        fold = carry_row_ref[0] == r0
-        carry_in = carry_val_ref[0]
-        first_elem = flat_iota((P, LANES)) == 0
-        y_win = jnp.where(
-            jnp.logical_and(fold, first_elem),
-            sr.reduce(jnp.full_like(y_win, carry_in), y_win),
-            y_win,
-        )
-        out_ref[0] = y_win
-
-        # Update the carry with this tile's last-row value.
-        p_last = cnt_ref[t] - 1
-        last_mask = flat_iota((S, LANES)) == p_last
-        raw = sr.reduce_array(jnp.where(last_mask, scan, identity))
-        lr = lrow_ref[t]
-        tile_is_one_row = jnp.logical_and(fold, lr == r0)
-        carry_val_ref[0] = jnp.where(
-            tile_is_one_row, sr.reduce(carry_in, raw), raw
-        )
-        carry_row_ref[0] = lr
+        use_spare = sbt * P + sbt <= LANES
+        fi = flat_iota((LANES, LANES))
+        for j in range(sbt):
+            t = g * sbt + j
+            r0 = r_start_ref[t]
+            lr = lrow_ref[t]
+            cntv = cnt_ref[t]
+            fold = carry_row_ref[0] == r0
+            carry_in = carry_val_ref[0]
+            # fold the carry into tile j's first window element
+            first_elem = fi == j * P * LANES
+            yw = jnp.where(
+                jnp.logical_and(fold, first_elem),
+                sr.reduce(jnp.full_like(yw, carry_in), yw),
+                yw,
+            )
+            # this tile's last-row value (scan at its last element):
+            # delivered by the route's spare row when one exists (a
+            # masked full-tile reduction here measured µs-class)
+            if use_spare:
+                raw = routed[sbt * P + j, 0]
+            else:
+                last_mask = fi == (j * S * LANES + cntv - 1)
+                raw = sr.reduce_array(
+                    jnp.where(last_mask, scan, identity))
+            tile_is_one_row = jnp.logical_and(fold, lr == r0)
+            new_val = jnp.where(tile_is_one_row,
+                                sr.reduce(carry_in, raw), raw)
+            # empty (pad) tiles pass the carry through untouched
+            carry_val_ref[0] = jnp.where(cntv > 0, new_val,
+                                         carry_val_ref[0])
+            carry_row_ref[0] = jnp.where(cntv > 0, lr,
+                                         carry_row_ref[0])
+        out_ref[...] = yw[: sbt * P, :]
 
     return kernel
 
@@ -304,15 +433,18 @@ def _merge_tile_kernel(sr: Semiring, identity: float, S: int, P: int):
 @functools.partial(
     jax.jit,
     static_argnames=("sr", "n_rows", "T", "S", "P", "interpret", "val_dtype",
-                     "pregathered"),
+                     "pregathered", "pgy_meta"),
 )
 def _merge_spmv_device(
     aj_tiles, ax_tiles, rel_tiles, pend_tiles, r_start, lrow, cnt, owner_idx, x,
+    pr1, pr2, pr3, pgy_arrays=None, owner_valid=None,
     *, sr: Semiring, n_rows: int, T: int, S: int, P: int, interpret: bool,
-    val_dtype, pregathered: bool = False,
+    val_dtype, pregathered: bool = False, pgy_meta=None,
 ):
+    del pend_tiles  # superseded by the planned pr1/pr2/pr3 routes
     EN = S * LANES
     RW = P * LANES
+    sbt = LANES // S
     identity = float(sr.identity_for(np.dtype(val_dtype)))
 
     # Phase A: gather x and form products, masked to the identity
@@ -327,19 +459,17 @@ def _merge_spmv_device(
     prod = sr.combine(ax_tiles.astype(val_dtype), xg.astype(val_dtype))
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (T, EN), 1)
     prod = jnp.where(e_iota < cnt[:, None], prod, identity)
-    prod = prod.reshape(T, S, LANES)
 
-    # Phase B (Pallas): per-tile segmented reduction with carry chain.
-    kernel = _merge_tile_kernel(sr, identity, S, P)
+    # Phase B (Pallas): batched per-group segmented reduction with the
+    # sequential carry chain (sbt tiles per step).
+    Gn = T // sbt
+    kernel = _merge_group_kernel(sr, identity, S, P, sbt, RW)
+    blk128 = pl.BlockSpec((LANES, LANES), lambda g, *_: (g, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, S, LANES), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, S, LANES), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, P, LANES), lambda t, *_: (t, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, P, LANES), lambda t, *_: (t, 0, 0)),
+        grid=(Gn,),
+        in_specs=[blk128] * 5,
+        out_specs=pl.BlockSpec((sbt * P, LANES), lambda g, *_: (g, 0)),
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SMEM((1,), jnp.dtype(val_dtype)),
@@ -348,20 +478,44 @@ def _merge_spmv_device(
     y_tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, P, LANES), jnp.dtype(val_dtype)),
+        out_shape=jax.ShapeDtypeStruct((T * P, LANES),
+                                       jnp.dtype(val_dtype)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(r_start, lrow, cnt, prod, rel_tiles, pend_tiles)
+    )(r_start, lrow, cnt, prod.reshape(-1, LANES),
+      rel_tiles.reshape(-1, LANES), pr1, pr2, pr3)
 
-    # Phase C (XLA): assemble y by ownership gather (no scatter). The
-    # identity participates in every row reduction, matching the
+    # Phase C: assemble y by ownership gather (no scatter). With a
+    # planned paged gather the map runs in the Pallas kernel — owner
+    # streams are near-contiguous, so the window sweep skips nearly
+    # everything; the XLA element gather (~8 ms per M rows) remains
+    # the fallback. Empty rows point at a pad tile (identity output).
+    # The identity participates in every row reduction, matching the
     # oracle's acc = initialize() (ref: cpu_navie.hpp:20-35).
-    y_flat = jnp.concatenate(
-        [y_tiles.reshape(T * RW), jnp.full((1,), identity, dtype=val_dtype)]
-    )
-    y = jnp.take(y_flat, owner_idx)
+    if pgy_meta is not None:
+        from spmv_tpu.kernels.pgather import PAGES_PER_STEP, \
+            _pgather_pass
+
+        qlo, qhi, s1, s2, s3, pmask = pgy_arrays
+        C_, R_, n_w_ = pgy_meta
+        n_w_pad = -(-n_w_ // PAGES_PER_STEP) * PAGES_PER_STEP
+        yp = jnp.pad(y_tiles.reshape(T * RW),
+                     (0, n_w_pad * LANES * LANES - T * RW))
+        y2d = jnp.swapaxes(
+            yp.reshape(-1, LANES, LANES), 1, 2).reshape(-1, LANES)
+        g = _pgather_pass(y2d, qlo, qhi, s1, s2, s3, pmask,
+                          C=C_, R=R_, n_w=n_w_, interpret=interpret)
+        # empty rows ride the planned stream as dead slots (0); fold
+        # the identity back in through the validity mask
+        y = jnp.where(owner_valid, g.reshape(-1)[:n_rows], identity)
+    else:
+        y_flat = jnp.concatenate(
+            [y_tiles.reshape(T * RW),
+             jnp.full((1,), identity, dtype=val_dtype)]
+        )
+        y = jnp.take(y_flat, owner_idx)
     return sr.reduce(y, jnp.full_like(y, identity))
 
 
@@ -382,12 +536,20 @@ def _merge_impl(A: CSR, x, semiring: Semiring, policy: MergePolicy):
         from spmv_tpu.kernels.pgather import paged_gather
 
         xin = paged_gather(x.astype(val_dtype), plan.pgather)
+    pgy = plan.pgather_y
+    pgy_arrays = None
+    pgy_meta = None
+    if pgy is not None:
+        pgy_arrays = (pgy.qlo, pgy.qhi, pgy.s1, pgy.s2, pgy.s3,
+                      pgy.pmask)
+        pgy_meta = (pgy.n_chunks, pgy.rounds, pgy.n_w)
     return _merge_spmv_device(
         plan.aj_tiles, plan.ax_tiles, plan.rel_tiles, plan.pend_tiles,
         plan.r_start, plan.lrow, plan.cnt, plan.owner_idx, xin,
+        plan.pr1, plan.pr2, plan.pr3, pgy_arrays, plan.owner_valid,
         sr=semiring, n_rows=A.n_rows, T=plan.n_tiles, S=S, P=P,
         interpret=config.use_interpret(), val_dtype=np.dtype(val_dtype),
-        pregathered=pregathered,
+        pregathered=pregathered, pgy_meta=pgy_meta,
     )
 
 

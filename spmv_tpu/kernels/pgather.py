@@ -52,9 +52,6 @@ from spmv_tpu import config
 from spmv_tpu.kernels.pallas_utils import LANES
 from spmv_tpu.ops.routing import TILE, route_tiles
 
-# Resident-table budget: same class as stream.X_VMEM_MAX_BYTES but a
-# little lower — this kernel also holds R rounds of 5 streams per step.
-TABLE_VMEM_MAX_BYTES = 6 << 20
 R_MAX = 4  # rounds; past this the stream is adversarially bucketed
 # (e.g. all columns ≡ c mod 128) and the caller keeps jnp.take
 
@@ -68,12 +65,15 @@ class PagedGatherPlan:
     n_w: int              # windows in the x table
     # device arrays
     qlo: jax.Array        # (C*R*128, 128) uint8 lane within window
-    qhi: jax.Array        # (C*R*128, 128) uint8/int32 window id
+    qhi: jax.Array        # (C*R*128, 128) int32 window id (-1 dead)
     s1: jax.Array         # (C*R*128, 128) uint8 route stages
     s2: jax.Array
     s3: jax.Array         # bit 7 = original-position liveness
     pages: jax.Array      # (C*R, k_max) int32 window ids to sweep
     pcnt: jax.Array       # (C*R,) int32 live pages per (chunk, round)
+    pmask: jax.Array      # (C, n_words) int32 bitmap of windows any
+    # round of the chunk touches — the kernel's static page sweep
+    # skips clear bits at scalar cost
 
 
 def build_paged_gather_plan(idx: np.ndarray, n_cols: int,
@@ -89,7 +89,11 @@ def build_paged_gather_plan(idx: np.ndarray, n_cols: int,
         return None
     W = LANES * LANES
     n_w = -(-n_cols // W)
-    if n_w * W * val_bytes > TABLE_VMEM_MAX_BYTES:
+    # the sweep streams one 32-window block per grid step (the table
+    # need not be VMEM-resident), so the only cap is the sweep length
+    # for fully-random streams: past ~64M source elements the
+    # per-chunk full sweep stops paying vs the XLA gather
+    if n_w > 4096:
         return None
     C = -(-n // TILE)
     pad = C * TILE - n
@@ -135,7 +139,11 @@ def build_paged_gather_plan(idx: np.ndarray, n_cols: int,
     s3.reshape(C * R, TILE)[...] |= (
         (src.reshape(C * R, TILE) >= 0).astype(np.uint8) << 7)
 
-    # per-(chunk, round) distinct window lists (live slots only)
+    # per-(chunk, round) distinct window lists (live slots only). The
+    # kernel's sweep is a STATIC k_max-unrolled loop (a dynamic-trip
+    # fori_loop measured ~8x slower per page); short lists pad by
+    # REPEATING their last page — re-selecting the same window is an
+    # idempotent overwrite, never a double-apply.
     pages_l = []
     for c in range(C):
         for r in range(R):
@@ -146,7 +154,19 @@ def build_paged_gather_plan(idx: np.ndarray, n_cols: int,
     pcnt = np.zeros((C * R,), np.int32)
     for i, p in enumerate(pages_l):
         pages[i, :p.size] = p
+        if p.size:
+            pages[i, p.size:] = p[-1]
         pcnt[i] = p.size
+    # per-chunk window bitmap (any round): the kernel's static sweep
+    # gates each window on its bit at scalar cost
+    n_words = -(-n_w // 32)
+    pmask = np.zeros((C, n_words), np.int64)
+    for c in range(C):
+        touched = np.unique(qhi[c][qhi[c] >= 0])
+        np.bitwise_or.at(pmask[c], touched // 32,
+                         np.int64(1) << (touched % 32))
+    # bit 31 must survive the int32 prefetch array: wrap, don't clip
+    pmask = pmask.astype(np.uint32).view(np.int32)
 
     return PagedGatherPlan(
         n=n, n_chunks=C, rounds=R, k_max=k_max, n_w=n_w,
@@ -157,62 +177,92 @@ def build_paged_gather_plan(idx: np.ndarray, n_cols: int,
         s3=jnp.asarray(s3.reshape(-1, LANES)),
         pages=jnp.asarray(pages),
         pcnt=jnp.asarray(pcnt),
+        pmask=jnp.asarray(pmask),
     )
 
 
-def _pgather_kernel(R: int):
+PAGES_PER_STEP = 32  # windows swept per inner grid step; the kernel
+# body unrolls exactly this many page gathers, so Mosaic compile time
+# is constant in the table size (a 64-page unrolled body took >45 min
+# to compile through the tunnel)
+
+
+def _pgather_kernel(R: int, n_w: int, n_wsteps: int):
     from spmv_tpu.kernels.pallas_utils import route3_batched
 
-    def kernel(pages_ref, pcnt_ref, qlo_ref, qhi_ref, s1_ref, s2_ref,
-               s3_ref, x_ref, out_ref):
+    def kernel(pmask_ref, qlo_ref, qhi_ref, s1_ref, s2_ref,
+               s3_ref, x_ref, out_ref, acc_ref):
         t = pl.program_id(0)
-        out = jnp.zeros((LANES, LANES), x_ref.dtype)
-        for r in range(R):
-            sl = pl.ds(r * LANES, LANES)
-            qlo = qlo_ref[sl, :].astype(jnp.int32)
-            qhi = qhi_ref[sl, :].astype(jnp.int32)
-            s3v = s3_ref[sl, :].astype(jnp.int32)
+        w = pl.program_id(1)
 
-            # dynamic-trip sweep over this round's window list
-            def sweep(k, acc):
-                p = pages_ref[(t * R + r), k]
-                xt = x_ref[pl.ds(pl.multiple_of(p * LANES, LANES),
-                                 LANES), :]
-                g = jnp.take_along_axis(xt, qlo, axis=1)
-                return jnp.where(qhi == p, g, acc)
+        @pl.when(w == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros((R * LANES, LANES), x_ref.dtype)
 
-            acc = jax.lax.fori_loop(
-                0, pcnt_ref[t * R + r], sweep,
-                jnp.zeros((LANES, LANES), x_ref.dtype))
-            routed = route3_batched(acc, s1_ref[sl, :], s2_ref[sl, :],
-                                    s3v & 127)
-            out = jnp.where(s3v >> 7 > 0, routed, out)
-        out_ref[...] = out
+        # sweep this step's PAGES_PER_STEP windows (STATIC sublane
+        # slices of the step's (32*128, 128) table block — the x table
+        # keeps the stream pipeline's transposed-window layout, built
+        # by the cheap per-(128,128)-tile swapaxes; a (N,128,128) ->
+        # (128,N,128) lanes-major relayout here measured ~7 ms in
+        # XLA); a whole step skips at scalar cost when its bitmap
+        # word is clear
+        word = pmask_ref[t, w]
+
+        @pl.when(word != 0)
+        def _sweep():
+            qlo = qlo_ref[...].astype(jnp.int32)   # (R*128, 128)
+            qhi = qhi_ref[...].astype(jnp.int32)
+            for kk in range(PAGES_PER_STEP):
+                xt = x_ref[kk * LANES:(kk + 1) * LANES, :]
+                for r in range(R):
+                    sl = pl.ds(r * LANES, LANES)
+                    g = jnp.take_along_axis(
+                        xt, qlo[r * LANES:(r + 1) * LANES, :], axis=1)
+                    acc_ref[sl, :] = jnp.where(
+                        qhi[r * LANES:(r + 1) * LANES, :]
+                        == w * PAGES_PER_STEP + kk,
+                        g, acc_ref[sl, :])
+
+        @pl.when(w == n_wsteps - 1)
+        def _emit():
+            out = jnp.zeros((LANES, LANES), x_ref.dtype)
+            for r in range(R):
+                sl = pl.ds(r * LANES, LANES)
+                s3v = s3_ref[sl, :].astype(jnp.int32)
+                routed = route3_batched(
+                    acc_ref[sl, :], s1_ref[sl, :], s2_ref[sl, :],
+                    s3v & 127)
+                out = jnp.where(s3v >> 7 > 0, routed, out)
+            out_ref[...] = out
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=(
     "C", "R", "n_w", "interpret"))
-def _pgather_pass(x2d, qlo, qhi, s1, s2, s3, pages, pcnt, *,
+def _pgather_pass(x2d, qlo, qhi, s1, s2, s3, pmask, *,
                   C, R, n_w, interpret):
+    n_wsteps = -(-n_w // PAGES_PER_STEP)
+    blk = pl.BlockSpec((R * LANES, LANES), lambda t, w, *_: (t, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(C,),
+        num_scalar_prefetch=1,
+        grid=(C, n_wsteps),
         in_specs=(
-            [pl.BlockSpec((R * LANES, LANES), lambda t, *_: (t, 0))] * 5
-            + [pl.BlockSpec((n_w * LANES, LANES), lambda t, *_: (0, 0))]
+            [blk] * 5
+            + [pl.BlockSpec((PAGES_PER_STEP * LANES, LANES),
+                            lambda t, w, *_: (w, 0))]
         ),
-        out_specs=pl.BlockSpec((LANES, LANES), lambda t, *_: (t, 0)),
+        out_specs=pl.BlockSpec((LANES, LANES), lambda t, w, *_: (t, 0)),
+        scratch_shapes=[pltpu.VMEM((R * LANES, LANES), x2d.dtype)],
     )
     return pl.pallas_call(
-        _pgather_kernel(R),
+        _pgather_kernel(R, n_w, n_wsteps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C * LANES, LANES), x2d.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(pages, pcnt, qlo, qhi, s1, s2, s3, x2d)
+    )(pmask, qlo, qhi, s1, s2, s3, x2d)
 
 
 def paged_gather(x, plan: PagedGatherPlan):
@@ -222,12 +272,18 @@ def paged_gather(x, plan: PagedGatherPlan):
     """
     x = jnp.asarray(x)
     W = LANES * LANES
-    xp = jnp.pad(x, (0, plan.n_w * W - x.shape[0]))
+    n_w_pad = -(-plan.n_w // PAGES_PER_STEP) * PAGES_PER_STEP
+    xp = jnp.pad(x, (0, n_w_pad * W - x.shape[0]))
+    # x2d[w*128 + s, q] = x[w*16384 + q*128 + s]: the stream
+    # pipeline's transposed-window layout — one cheap per-tile
+    # swapaxes; the kernel's page select is a STATIC sublane slice of
+    # the per-step 32-window block (a dynamic slice measured ~7x
+    # slower per page, and a lanes-major relayout ~7 ms in XLA)
     x2d = jnp.swapaxes(
         xp.reshape(-1, LANES, LANES), 1, 2).reshape(-1, LANES)
     out = _pgather_pass(
         x2d, plan.qlo, plan.qhi, plan.s1, plan.s2, plan.s3,
-        plan.pages, plan.pcnt,
-        C=plan.n_chunks, R=plan.rounds, n_w=plan.n_w,
-        interpret=config.use_interpret())
+        plan.pmask,
+        C=plan.n_chunks, R=plan.rounds,
+        n_w=plan.n_w, interpret=config.use_interpret())
     return out.reshape(-1)[: plan.n]

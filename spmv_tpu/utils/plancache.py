@@ -129,6 +129,12 @@ def load_plan(path: str):
 
     gather = {k[len("gather."):]: dput(z[k]) for k in z.files
               if k.startswith("gather.")}
+    if "xr1" in gather and not (
+            "gather.g0" in z.files and "gather.x_nat_rows" in scalars):
+        # remap layout missing its window metadata: a file written by
+        # a partially-updated process (mixed-edit window) — rebuild
+        raise ValueError(
+            f"plan file {path}: remap layout missing g0/x_nat_rows")
     # merge-piece arrays (scan.m_*) stay HOST-side: they are static
     # trace-time structure for the ragged concat, not device streams
     scan = {k[len("scan."):]: (np.asarray(z[k])
