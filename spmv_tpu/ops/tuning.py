@@ -127,12 +127,25 @@ def autotune_stream(A, x, kappas=(8192, 10240, 12288, 14336, 16384),
     # two-stage sweep: kappa first (plan geometry, one plan build
     # each), then scan_sbt (outer-step batching) at the winning kappa —
     # the sbt stage reuses the winner's cached plan (structural keying)
+    def _med3(fn):
+        # median of 3 chained samples: the pool-shared chip's slope
+        # occasionally degenerates into an impossibly fast fluke, and
+        # a single-sample sweep then persists a fluke policy (caught
+        # round 5: a 0.07 ms sample picked kappa 8192 over settings
+        # that measured 4-5x faster across real epochs)
+        ks = []
+        for _ in range(3):
+            total, kern = fn()
+            ks.append(kern)
+        ks.sort()
+        return ks[1]
+
     for kappa in kappas:
         pol = StreamPolicy(kappa=kappa)
         try:
-            total, kern = benchmark_fn(
+            kern = _med3(lambda pol=pol: benchmark_fn(
                 lambda v, pol=pol: _stream_spmv(A, v, PLUS_TIMES, pol),
-                x, iters=iters)
+                x, iters=iters))
         except (PlanCapacityError, ValueError) as e:
             if verbose:
                 print(f"autotune kappa={kappa}: failed ({e})",
@@ -141,17 +154,17 @@ def autotune_stream(A, x, kappas=(8192, 10240, 12288, 14336, 16384),
         results.append({"kappa": kappa, "scan_sbt": pol.scan_sbt,
                         "kernel_s": kern})
         if verbose:
-            print(f"autotune kappa={kappa}: {kern*1e3:.4f} ms",
+            print(f"autotune kappa={kappa}: {kern*1e3:.4f} ms (med3)",
                   file=sys.stderr)
     if not results:
         raise RuntimeError("autotune: no candidate policy planned")
     best = min(results, key=lambda r: r["kernel_s"])
-    for scan_sbt in (16, 32):
+    for scan_sbt in (16,):
         pol = StreamPolicy(kappa=best["kappa"], scan_sbt=scan_sbt)
         try:
-            total, kern = benchmark_fn(
+            kern = _med3(lambda pol=pol: benchmark_fn(
                 lambda v, pol=pol: _stream_spmv(A, v, PLUS_TIMES, pol),
-                x, iters=iters)
+                x, iters=iters))
         except (PlanCapacityError, ValueError) as e:
             if verbose:
                 print(f"autotune scan_sbt={scan_sbt}: failed ({e})",
