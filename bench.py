@@ -166,7 +166,10 @@ def main():
               key=lambda k: kinds_done[k]["gnnz_per_s"], default=None)
     if top:
         samples.append(kinds_done[top]["gnnz_per_s"])
-        for _ in range(2):
+        # 4 extra samples (5 total): measured pool spread reaches ~0.7
+        # of the median within one run, and a 3-sample median still
+        # moved ±40% between epochs; each warm resample costs ~10 s
+        for _ in range(4):
             if time.perf_counter() - t0 > TIME_BUDGET_S + EXTRA_BUDGET_S:
                 break
             try:
