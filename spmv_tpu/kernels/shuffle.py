@@ -388,13 +388,15 @@ def plan_shuffle_auto(dst_pos: np.ndarray, n_final_tiles: int,
                 or region_tiles % sbt:
             continue
         q2 = LANES // region_tiles
+        # q1-only term of the pass-2 mid digit, hoisted out of the G
+        # sweep (each in-loop nnz-length array op costs ~10 ms/G here)
+        base_mid = ((st_t // sbt) * sbt * q1) // LANES
         for G in range(2, 65, 2):
             g_size = -(-F // G)
             if not _fits1(G, q1):
                 continue
             # pass-2 exact count: (mid tile, local final index)
-            mid = (dt % G) * region_tiles + \
-                ((st_t // sbt) * sbt * q1) // LANES
+            mid = (dt % G) * region_tiles + base_mid
             c2 = np.bincount(mid * g_size + (dt // G), minlength=1)
             if int(c2.max()) > cap(q2):
                 _note_shrink(int(c2.max()) / cap(q2))
